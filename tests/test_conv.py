@@ -1,0 +1,104 @@
+"""Conv primitive parity vs torch.nn.functional (padding arithmetic is the
+hard part of checkpoint interchange — SURVEY.md §7 'Hard parts' #1)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from fastvocoder_tpu.ops.conv import (
+    avg_pool1d,
+    conv1d,
+    conv_transpose1d,
+    reflect_pad1d,
+)
+
+
+def to_ntc(x_nct):
+    return np.transpose(x_nct, (0, 2, 1))
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,stride,pad,dil,groups",
+    [
+        (8, 16, 7, 1, 3, 1, 1),
+        (8, 16, 3, 1, 3, 3, 1),
+        (16, 32, 41, 4, 20, 1, 4),
+        (8, 8, 1, 1, 0, 1, 1),
+    ],
+)
+def test_conv1d_matches_torch(rng, cin, cout, k, stride, pad, dil, groups):
+    x = rng.standard_normal((2, cin, 95)).astype(np.float32)
+    w = rng.standard_normal((cout, cin // groups, k)).astype(np.float32)
+    b = rng.standard_normal((cout,)).astype(np.float32)
+    ref = F.conv1d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=stride, padding=pad, dilation=dil, groups=groups,
+    ).numpy()
+    ours = conv1d(
+        jnp.asarray(to_ntc(x)),
+        jnp.asarray(np.transpose(w, (2, 1, 0))),
+        jnp.asarray(b),
+        stride=stride, padding=pad, dilation=dil, groups=groups,
+    )
+    np.testing.assert_allclose(np.asarray(ours), to_ntc(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "cin,cout,scale",
+    [(8, 16, 10), (8, 16, 6), (16, 8, 2), (8, 8, 5), (8, 8, 3), (8, 8, 4)],
+)
+def test_conv_transpose1d_matches_torch_melgan_arith(rng, cin, cout, scale):
+    # the reference's upsampler arithmetic: k=2s, p=s//2+s%2, op=s%2
+    # (reference model/generator/melgan.py:77-86)
+    k, p, op = 2 * scale, scale // 2 + scale % 2, scale % 2
+    x = rng.standard_normal((2, cin, 17)).astype(np.float32)
+    w = rng.standard_normal((cin, cout, k)).astype(np.float32)
+    b = rng.standard_normal((cout,)).astype(np.float32)
+    ref = F.conv_transpose1d(
+        torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+        stride=scale, padding=p, output_padding=op,
+    ).numpy()
+    ours = conv_transpose1d(
+        jnp.asarray(to_ntc(x)),
+        jnp.asarray(np.transpose(w, (2, 0, 1))),
+        jnp.asarray(b),
+        stride=scale, padding=p, output_padding=op,
+    )
+    assert ours.shape[1] == 17 * scale
+    np.testing.assert_allclose(np.asarray(ours), to_ntc(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("u,k", [(8, 16), (5, 10), (3, 6), (2, 4), (10, 16), (6, 16)])
+def test_conv_transpose1d_hifigan_arith(rng, u, k):
+    # hifigan: kernel k, stride u, padding u//2+u%2, output_padding u%2
+    # (reference model/generator/hifigan.py:39-44)
+    p, op = u // 2 + u % 2, u % 2
+    x = rng.standard_normal((1, 8, 23)).astype(np.float32)
+    w = rng.standard_normal((8, 4, k)).astype(np.float32)
+    ref = F.conv_transpose1d(
+        torch.from_numpy(x), torch.from_numpy(w), stride=u, padding=p, output_padding=op
+    ).numpy()
+    ours = conv_transpose1d(
+        jnp.asarray(to_ntc(x)), jnp.asarray(np.transpose(w, (2, 0, 1))),
+        stride=u, padding=p, output_padding=op,
+    )
+    np.testing.assert_allclose(np.asarray(ours), to_ntc(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_reflect_pad(rng):
+    x = rng.standard_normal((1, 4, 10)).astype(np.float32)
+    ref = F.pad(torch.from_numpy(x), (3, 3), mode="reflect").numpy()
+    ours = reflect_pad1d(jnp.asarray(to_ntc(x)), 3)
+    np.testing.assert_allclose(np.asarray(ours), to_ntc(ref), atol=1e-6)
+
+
+def test_avg_pool_count_exclude_pad(rng):
+    x = rng.standard_normal((2, 3, 33)).astype(np.float32)
+    ref = torch.nn.AvgPool1d(4, stride=2, padding=1, count_include_pad=False)(
+        torch.from_numpy(x)
+    ).numpy()
+    ours = avg_pool1d(jnp.asarray(to_ntc(x)), 4, 2, 1, count_include_pad=False)
+    np.testing.assert_allclose(np.asarray(ours), to_ntc(ref), rtol=1e-5, atol=1e-5)
