@@ -1,0 +1,370 @@
+"""Shared flax building blocks in NTC layout.
+
+TPU-native re-design of the reference's torch modules
+(reference model/generator/modules.py):
+
+  * Weight normalization is an explicit ``g * v / ||v||`` reparameterization
+    inside the conv modules (torch wraps modules with hooks,
+    melgan.py:149-156).  ``weight_norm=False`` builds the "fused" module the
+    reference gets from ``remove_weight_norm()``; the parameter conversion is
+    `fastvocoder_tpu.train.checkpoint.fuse_weight_norm`.
+  * All convs run in (B, T, C); kernels are (K, Cin, Cout) so the channel
+    contraction lands on the MXU lanes.
+  * An optional ``compute_dtype`` casts activations+kernels (bf16 inference).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from fastvocoder_tpu.ops.conv import (
+    conv1d,
+    conv_transpose1d,
+    constant_pad1d,
+    reflect_pad1d,
+)
+from fastvocoder_tpu.ops.overlap_add import overlap_and_add
+
+LRELU_SLOPE = 0.1  # hifigan family (reference modules.py:9)
+
+
+def leaky_relu(x, negative_slope=0.01):
+    return jnp.where(x >= 0, x, x * negative_slope)
+
+
+def torch_conv_kernel_init(fan_in: int) -> Callable:
+    """torch.nn.Conv1d default init: kaiming_uniform(a=sqrt(5)) ==
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _l2norm(v: jnp.ndarray, axes: Tuple[int, ...]) -> jnp.ndarray:
+    return jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+
+
+class WNConv1d(nn.Module):
+    """Conv1d with optional weight-norm reparameterization.
+
+    Params: 'kernel' (K, Cin//groups, Cout) [+ 'g' (Cout,)] [+ 'bias' (Cout,)].
+    Weight-norm normalizes over (K, Cin) per output channel — torch
+    weight_norm dim=0 on a (Cout, Cin, K) weight.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    padding: int = 0  # symmetric zero padding (torch conv `padding=`)
+    use_bias: bool = True
+    weight_norm: bool = True
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        fan_in = (cin // self.groups) * self.kernel_size
+        kshape = (self.kernel_size, cin // self.groups, self.features)
+        kernel = self.param("kernel", torch_conv_kernel_init(fan_in), kshape)
+        if self.weight_norm:
+            g = self.param(
+                "g", lambda rng: jnp.squeeze(_l2norm(kernel, (0, 1)), (0, 1))
+            )
+            kernel = kernel * (g / _l2norm(kernel, (0, 1)))
+        bias = (
+            self.param("bias", torch_conv_kernel_init(fan_in), (self.features,))
+            if self.use_bias
+            else None
+        )
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+            kernel = kernel.astype(self.compute_dtype)
+            bias = bias.astype(self.compute_dtype) if bias is not None else None
+        return conv1d(
+            x,
+            kernel,
+            bias,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+        )
+
+
+class WNConvTranspose1d(nn.Module):
+    """ConvTranspose1d with torch padding semantics + optional weight norm.
+
+    Params: 'kernel' (K, Cin, Cout) in torch orientation (unflipped) [+ 'g'
+    (Cin,)].  torch weight_norm dim=0 on a (Cin, Cout, K) transposed-conv
+    weight normalizes per *input* channel, i.e. over axes (K, Cout).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    weight_norm: bool = True
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        fan_in = self.features * self.kernel_size  # torch fan_in for transpose
+        kshape = (self.kernel_size, cin, self.features)
+        kernel = self.param("kernel", torch_conv_kernel_init(fan_in), kshape)
+        if self.weight_norm:
+            # named 'gt' (not 'g') so converters can tell transpose-conv
+            # weight norm (per input channel) from conv weight norm apart
+            g = self.param(
+                "gt", lambda rng: jnp.squeeze(_l2norm(kernel, (0, 2)), (0, 2))
+            )
+            kernel = kernel * (g[None, :, None] / _l2norm(kernel, (0, 2)))
+        bias = (
+            self.param("bias", torch_conv_kernel_init(fan_in), (self.features,))
+            if self.use_bias
+            else None
+        )
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+            kernel = kernel.astype(self.compute_dtype)
+            bias = bias.astype(self.compute_dtype) if bias is not None else None
+        return conv_transpose1d(
+            x,
+            kernel,
+            bias,
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
+        )
+
+
+class CausalWNConv1d(nn.Module):
+    """Causal conv: left-pad (k-1)*d then trim to input length
+    (reference modules.py:273-294)."""
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+    use_bias: bool = True
+    weight_norm: bool = True
+    pad_value: float = 0.0
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = (self.kernel_size - 1) * self.dilation
+        x = constant_pad1d(x, (pad, pad), self.pad_value)
+        y = WNConv1d(
+            self.features,
+            self.kernel_size,
+            dilation=self.dilation,
+            use_bias=self.use_bias,
+            weight_norm=self.weight_norm,
+            compute_dtype=self.compute_dtype,
+            name="conv",
+        )(x)
+        return y[:, : x.shape[1] - 2 * pad, :]
+
+
+class ResidualStack(nn.Module):
+    """MelGAN residual stack (reference modules.py:320-382):
+    leaky(0.2) -> reflect-pad -> dilated conv -> leaky(0.2) -> 1x1 conv,
+    plus a 1x1 skip conv."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: int = 1
+    use_bias: bool = True
+    weight_norm: bool = True
+    use_causal_conv: bool = False
+    negative_slope: float = 0.2
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, c: jnp.ndarray) -> jnp.ndarray:
+        kw = dict(
+            use_bias=self.use_bias,
+            weight_norm=self.weight_norm,
+            compute_dtype=self.compute_dtype,
+        )
+        h = leaky_relu(c, self.negative_slope)
+        if not self.use_causal_conv:
+            h = reflect_pad1d(h, (self.kernel_size - 1) // 2 * self.dilation)
+            h = WNConv1d(
+                self.channels, self.kernel_size, dilation=self.dilation,
+                name="conv_dilated", **kw,
+            )(h)
+        else:
+            h = CausalWNConv1d(
+                self.channels, self.kernel_size, dilation=self.dilation,
+                use_bias=self.use_bias, weight_norm=self.weight_norm,
+                compute_dtype=self.compute_dtype, name="conv_dilated",
+            )(h)
+        h = leaky_relu(h, self.negative_slope)
+        h = WNConv1d(self.channels, 1, name="conv_1x1", **kw)(h)
+        skip = WNConv1d(self.channels, 1, name="skip", **kw)(c)
+        return h + skip
+
+
+class ResBlock1(nn.Module):
+    """HiFiGAN type-1 MRF block (reference modules.py:190-230)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Sequence[int] = (1, 3, 5)
+    use_bias: bool = True
+    weight_norm: bool = True
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kw = dict(
+            use_bias=self.use_bias,
+            weight_norm=self.weight_norm,
+            compute_dtype=self.compute_dtype,
+        )
+        for i, d in enumerate(self.dilations):
+            h = leaky_relu(x, LRELU_SLOPE)
+            h = WNConv1d(
+                self.channels, self.kernel_size, dilation=d,
+                padding=(self.kernel_size * d - d) // 2, name=f"conv1_{i}", **kw,
+            )(h)
+            h = leaky_relu(h, LRELU_SLOPE)
+            h = WNConv1d(
+                self.channels, self.kernel_size, dilation=1,
+                padding=(self.kernel_size - 1) // 2, name=f"conv2_{i}", **kw,
+            )(h)
+            x = x + h
+        return x
+
+
+class ResBlock2(nn.Module):
+    """HiFiGAN type-2 MRF block (reference modules.py:233-252)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilations: Sequence[int] = (1, 3)
+    use_bias: bool = True
+    weight_norm: bool = True
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilations):
+            h = leaky_relu(x, LRELU_SLOPE)
+            h = WNConv1d(
+                self.channels, self.kernel_size, dilation=d,
+                padding=(self.kernel_size * d - d) // 2,
+                use_bias=self.use_bias, weight_norm=self.weight_norm,
+                compute_dtype=self.compute_dtype, name=f"conv_{i}",
+            )(h)
+            x = x + h
+        return x
+
+
+class UpsampleLayer(nn.Module):
+    """Nearest-neighbor temporal upsample + conv — the anti-checkerboard
+    alternative to transposed conv (reference modules.py:135-177)."""
+
+    features: int
+    upsample_rate: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    weight_norm: bool = True
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.repeat(x, self.upsample_rate, axis=1)
+        return WNConv1d(
+            self.features, self.kernel_size, stride=self.stride,
+            padding=self.padding, use_bias=self.use_bias,
+            weight_norm=self.weight_norm, compute_dtype=self.compute_dtype,
+            name="conv",
+        )(x)
+
+
+class LastLayer(nn.Module):
+    """activation -> reflect pad -> conv (reference modules.py:76-89)."""
+
+    features: int
+    kernel_size: int
+    use_bias: bool = True
+    weight_norm: bool = True
+    negative_slope: float = 0.2
+    compute_dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = leaky_relu(x, self.negative_slope)
+        x = reflect_pad1d(x, (self.kernel_size - 1) // 2)
+        return WNConv1d(
+            self.features, self.kernel_size, use_bias=self.use_bias,
+            weight_norm=self.weight_norm, compute_dtype=self.compute_dtype,
+            name="conv",
+        )(x)
+
+
+class LastLinear(nn.Module):
+    """leaky(0.2) -> BN -> 1x1 -> leaky(0.2) -> BN -> 1x1
+    (reference modules.py:116-132; unused by the shipped configs)."""
+
+    hidden_channel: int
+    out_channel: int
+    use_bias: bool = True
+    weight_norm: bool = True
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = leaky_relu(x, 0.2)
+        x = nn.BatchNorm(use_running_average=not self.train, name="bn_1")(x)
+        x = WNConv1d(self.hidden_channel, 1, use_bias=self.use_bias,
+                     weight_norm=self.weight_norm, name="linear_1")(x)
+        x = leaky_relu(x, 0.2)
+        x = nn.BatchNorm(use_running_average=not self.train, name="bn_2")(x)
+        x = WNConv1d(self.out_channel, 1, use_bias=self.use_bias,
+                     weight_norm=self.weight_norm, name="linear_2")(x)
+        return x
+
+
+class BasisSignalLayer(nn.Module):
+    """Frozen learned-basis decode: weights (B, F, C) @ basis (L, C)^T ->
+    frames (B, F, L) -> 50%-overlap-add (reference modules.py:255-267).
+
+    The basis matrix is a parameter (so it travels in checkpoints like the
+    reference's ``basis_signal.layer.weight``) but is excluded from the
+    generator optimizer (reference bin/train.py:329-331 freezes it).
+    """
+
+    L: int
+    basis_init: Optional[np.ndarray] = None  # (L, C)
+    in_features: int = 256
+
+    @nn.compact
+    def __call__(self, weight: jnp.ndarray) -> jnp.ndarray:
+        if self.basis_init is not None:
+            init = lambda rng: jnp.asarray(self.basis_init, dtype=jnp.float32)
+        else:
+            init = lambda rng: jnp.zeros((self.L, self.in_features), jnp.float32)
+        basis = self.param("basis", init)
+        frames = jnp.einsum(
+            "btc,lc->btl", weight, basis.astype(weight.dtype),
+            preferred_element_type=weight.dtype,
+        )
+        return overlap_and_add(frames, self.L // 2)
