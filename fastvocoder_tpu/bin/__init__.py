@@ -1,0 +1,13 @@
+from fastvocoder_tpu.bin.preprocess import run_preprocess
+from fastvocoder_tpu.bin.publish import run_publisher
+from fastvocoder_tpu.bin.synthesize import run_synthesizer
+from fastvocoder_tpu.bin.test import run_test
+from fastvocoder_tpu.bin.train import run_train
+
+__all__ = [
+    "run_preprocess",
+    "run_publisher",
+    "run_synthesizer",
+    "run_test",
+    "run_train",
+]

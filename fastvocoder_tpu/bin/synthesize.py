@@ -1,0 +1,138 @@
+"""Synthesis driver (reference bin/synthesize.py:17-104).
+
+`Synthesizer` loads a checkpoint into the *fused* (weight-norm-removed)
+generator — the jit equivalent of the reference's `model.eval();
+model.remove_weight_norm()` (bin/synthesize.py:71-72) — and synthesizes with
+zero-mel bias removal (bin/synthesize.py:74-80).
+
+Length handling on TPU: compiled functions are cached per padded mel-length
+bucket (`bucket_frames` granularity, 0 = exact length).  Bucketed runs pad
+the mel with zeros and trim the waveform to `T * hop`; outputs within the
+generator's receptive field of the pad boundary can differ from an
+exact-shape run by edge effects only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from fastvocoder_tpu.dsp import audio
+from fastvocoder_tpu.hparams import HP, Hparams, load_model_config
+from fastvocoder_tpu.models.factory import build_generator
+from fastvocoder_tpu.train.checkpoint import fuse_weight_norm, load_checkpoint
+
+
+class Synthesizer:
+    def __init__(
+        self,
+        checkpoint_path: str,
+        config_path: str,
+        model_name: str,
+        hp: Hparams = HP,
+        bucket_frames: int = 0,
+        compute_dtype=None,
+    ) -> None:
+        import jax
+
+        self.hp = hp
+        self.cfg = load_model_config(model_name, config_path)
+        self.model_name = model_name
+        self.bucket_frames = bucket_frames
+        self.L = getattr(self.cfg.arch, "L", None)
+
+        ckpt = load_checkpoint(checkpoint_path, self.cfg, with_discriminator=False)
+        self.params = fuse_weight_norm(ckpt["gen_params"])
+        self.pattern = ckpt.get("pattern")
+        self.generator = build_generator(
+            self.cfg, weight_norm=False, compute_dtype=compute_dtype
+        )
+        self._jax = jax
+
+    # ---- compiled inference, cached per mel length ----
+
+    @functools.lru_cache(maxsize=32)
+    def _compiled(self, T: int):
+        jax = self._jax
+        gen = self.generator
+
+        if self.model_name == "basis-melgan":
+            fn = lambda p, m: gen.apply({"params": p}, m, method=gen.inference)
+        elif self.model_name == "multiband-hifigan":
+            fn = lambda p, m: gen.apply({"params": p}, m, method=gen.synthesize)
+        else:
+            fn = lambda p, m: gen.apply({"params": p}, m)
+        return jax.jit(fn)
+
+    def _pad_frames(self, T: int) -> int:
+        if self.bucket_frames <= 0:
+            return T
+        b = self.bucket_frames
+        return ((T + b - 1) // b) * b
+
+    def _run(self, mel: np.ndarray) -> np.ndarray:
+        """mel (T, 80) -> raw inference waveform (1-D, untrimmed)."""
+        T = mel.shape[0]
+        Tp = self._pad_frames(T)
+        if Tp != T:
+            mel = np.pad(mel, ((0, Tp - T), (0, 0)))
+        wav = np.asarray(self._compiled(Tp)(self.params, mel[None]))[0]
+        if Tp != T:
+            if self.model_name == "basis-melgan":
+                keep = (T * self._weight_steps() - 1) * (self.L // 2) + self.L
+            else:
+                keep = T * self.hp.hop_size
+            wav = wav[:keep]
+        return wav
+
+    def _weight_steps(self) -> int:
+        steps = 1
+        for s in self.cfg.arch.upsample_scales:
+            steps *= s
+        return steps
+
+    # ---- public surface (reference bin/synthesize.py:74-80) ----
+
+    def synthesize(
+        self, mel: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """mel (T, 80) -> (est, est - bias, bias); bias from a zero mel."""
+        mel = np.asarray(mel, dtype=np.float32)
+        bias = self._run(np.zeros_like(mel))
+        est = self._run(mel)
+        return est, est - bias, bias
+
+    def test_rtf(self, mel: np.ndarray) -> None:
+        self._run(np.asarray(mel, dtype=np.float32))
+
+
+def run_synthesizer(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint_path", type=str)
+    parser.add_argument("--mel_path", type=str)
+    parser.add_argument("--wav_path", type=str)
+    parser.add_argument("--model_name", type=str,
+                        help="melgan, hifigan, multiband-hifigan, basis-melgan")
+    parser.add_argument("--config", type=str, help="path to model configuration file")
+    args = parser.parse_args(argv)
+
+    hp = HP
+    synthesizer = Synthesizer(args.checkpoint_path, args.config, args.model_name, hp)
+    mel = np.load(args.mel_path)
+    gl_wav = audio.inv_mel_spectrogram(mel, hp)  # Griffin-Lim reference output
+    est, est_remove, bias = synthesizer.synthesize(mel.T)
+    audio.save_wav(est, args.wav_path, hp.sample_rate, rescale_out=hp.rescale_out)
+    audio.save_wav(est_remove, args.wav_path[:-3] + "remove.wav", hp.sample_rate,
+                   rescale_out=hp.rescale_out)
+    audio.save_wav(bias, args.wav_path[:-3] + "bias.wav", hp.sample_rate,
+                   rescale_out=hp.rescale_out)
+    audio.save_wav(gl_wav, args.wav_path[:-3] + "gl.wav", hp.sample_rate,
+                   rescale_out=hp.rescale_out)
+
+
+if __name__ == "__main__":
+    run_synthesizer()

@@ -1,0 +1,318 @@
+"""Training driver (reference bin/train.py:258-499) — TPU-native run loop.
+
+Differences from the reference's loop, by design:
+  * the per-step work is one jitted XLA program (generator + discriminator
+    updates, no host round-trips) chosen from two compiled phases at the
+    static `discriminator_train_start_steps` boundary;
+  * all local devices form a data-parallel mesh automatically — the global
+    batch is sharded over it and XLA all-reduces gradients over ICI
+    (the reference is single-device, bin/train.py:260);
+  * checkpoints keep the reference's dict layout ('model'/'discriminator'
+    keys torch-loadable, train/checkpoint.py).
+
+Logging parity: per-step `total_loss.txt` / `stft_loss.txt` appends, a
+logger line every `log_step`, tensorboard scalars, `save_step` checkpoints,
+and the `valid_step` validation sweep (reference bin/train.py:190-233,
+451-471).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+from datetime import datetime
+from typing import Optional
+
+import numpy as np
+
+from fastvocoder_tpu.hparams import HP, load_model_config
+from fastvocoder_tpu.train.trainer import make_trainer
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger(__name__)
+
+
+class _NoopWriter:
+    def add_scalar(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
+def _make_writer(logdir: str):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(logdir)
+    except Exception:  # pragma: no cover — tensorboard not installed
+        logger.warning("tensorboard unavailable; scalar logging disabled")
+        return _NoopWriter()
+
+
+def run(args):
+    import jax
+
+    from fastvocoder_tpu.data.dataset import (
+        BufferDataset,
+        WeightDataset,
+        batch_iterator,
+        load_data_to_buffer,
+        num_batches_per_epoch,
+    )
+    from fastvocoder_tpu.parallel import (
+        compile_train_step,
+        compile_train_step_no_weight,
+        make_mesh,
+        pad_batch_to_devices,
+        replicate_state,
+        shard_batch,
+    )
+    from fastvocoder_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = load_model_config(args.model_name, args.config)
+    hp = HP.replace(
+        use_feature_map_loss=cfg.use_feature_map_loss,
+        batch_size=getattr(args, "batch_size", HP.batch_size),
+        batch_expand_size=getattr(args, "batch_expand_size", HP.batch_expand_size),
+        fixed_length=getattr(args, "fixed_length", HP.fixed_length),
+        save_step=getattr(args, "save_step", HP.save_step),
+        valid_step=getattr(args, "valid_step", HP.valid_step),
+        valid_num=getattr(args, "valid_num", HP.valid_num),
+        discriminator_train_start_steps=getattr(
+            args, "discriminator_train_start_steps",
+            HP.discriminator_train_start_steps),
+    )
+    if getattr(args, "test_size", 0):
+        hp = hp.replace(test_size=args.test_size)
+
+    logger.info(f"Loading Model of {args.model_name}...")
+    basis_signal_weight = None
+    if args.model_name == "basis-melgan":
+        basis_signal_weight = np.load(
+            os.path.join(args.basis_dataset_path, "basis_signal_weight.npy")
+        ).astype(np.float32)
+
+    compute_dtype = None
+    if getattr(args, "mixprecision", 0):
+        import jax.numpy as jnp
+
+        logger.info("Start bf16 mixed precision training...")
+        compute_dtype = jnp.bfloat16
+
+    trainer = make_trainer(
+        cfg,
+        hp=hp,
+        basis_signal_weight=basis_signal_weight,
+        use_scheduler=bool(args.use_scheduler),
+        learning_rate=args.learning_rate,
+        learning_rate_discriminator=args.learning_rate_discriminator,
+        compute_dtype=compute_dtype,
+    )
+
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.reshape(-1))
+    logger.info(f"data-parallel mesh over {n_dev} device(s)")
+
+    state = trainer.init_state(jax.random.PRNGKey(args.seed))
+    restored = False
+    if args.checkpoint_path:
+        try:
+            ckpt = load_checkpoint(args.checkpoint_path, cfg)
+            state = state.replace(gen_params=ckpt["gen_params"])
+            if "disc_params" in ckpt:
+                logger.info("loading discriminator")
+                state = state.replace(disc_params=ckpt["disc_params"])
+            if "optimizer" in ckpt:
+                state = state.replace(gen_opt_state=ckpt["optimizer"])
+            if "discriminator_optimizer" in ckpt:
+                state = state.replace(
+                    disc_opt_state=ckpt["discriminator_optimizer"]
+                )
+            restored = True
+            logger.info(f"\n---Model Restored at Step {args.restore_step}---\n")
+        except Exception as e:  # reference falls back to fresh (train.py:371-373)
+            logger.warning(f"checkpoint restore failed ({e}); starting fresh")
+    if not restored:
+        logger.info("\n---Start New Training---\n")
+
+    state = replicate_state(state, mesh)
+
+    # compiled steps: with/without the Basis-MelGAN weight target
+    if args.model_name == "basis-melgan":
+        pre_adv = compile_train_step(trainer.pre_adv_step, mesh)
+        gan = compile_train_step(trainer.gan_step, mesh)
+    else:
+        pre_adv = compile_train_step_no_weight(trainer.pre_adv_step, mesh)
+        gan = compile_train_step_no_weight(trainer.gan_step, mesh)
+    valid_fn = jax.jit(trainer.valid_step)
+
+    # run dirs (timestamped, reference bin/train.py:356-380)
+    stamp = str(datetime.now()).replace(" ", "-").replace(":", "-").replace(".", "-")
+    current_checkpoint_path = os.path.join(hp.checkpoint_path, stamp)
+    current_logger_path = os.path.join(hp.logger_path, stamp)
+    os.makedirs(current_checkpoint_path, exist_ok=True)
+    os.makedirs(current_logger_path, exist_ok=True)
+    writer = _make_writer(os.path.join(hp.tensorboard_path, stamp))
+
+    # datasets
+    if args.model_name == "basis-melgan":
+        dataset = WeightDataset.from_index_files(
+            args.audio_index_path, args.mel_index_path, cfg.arch.L,
+            weight_dir=os.path.join(args.basis_dataset_path, "weight"), hp=hp,
+        )
+        valid_dataset = WeightDataset.from_index_files(
+            args.audio_index_valid_path, args.mel_index_valid_path, cfg.arch.L,
+            weight_dir=os.path.join(args.basis_dataset_path, "weight"), hp=hp,
+        )
+    else:
+        buffer = load_data_to_buffer(
+            args.audio_index_path, args.mel_index_path,
+            feature_savepath="features_train.bin", test_size=hp.test_size,
+            log=logger.info,
+        )
+        valid_buffer = load_data_to_buffer(
+            args.audio_index_valid_path, args.mel_index_valid_path,
+            feature_savepath="features_valid.bin", test_size=hp.test_size,
+            log=logger.info,
+        )
+        dataset = BufferDataset(buffer, hp)
+        valid_dataset = BufferDataset(valid_buffer, hp)
+
+    steps_per_epoch = num_batches_per_epoch(len(dataset), hp)
+    total_step = hp.epochs * steps_per_epoch
+    logger.info(f"{steps_per_epoch} steps per epoch")
+
+    current_step = args.restore_step
+    time_window = []
+    start_wall = time.perf_counter()
+    max_steps = getattr(args, "max_steps", 0)
+
+    L = cfg.arch.L if args.model_name == "basis-melgan" else None
+    for epoch in range(hp.epochs):
+        for batch in batch_iterator(dataset, hp, seed=args.seed, epoch=epoch, L=L):
+            current_step += 1
+            t0 = time.perf_counter()
+
+            batch, _ = pad_batch_to_devices(batch, n_dev)
+            batch = shard_batch(batch, mesh)
+            step_fn = gan if current_step > hp.discriminator_train_start_steps else pre_adv
+            if args.model_name == "basis-melgan":
+                state, metrics = step_fn(
+                    state, batch["mel"], batch["wav"], batch["weight"]
+                )
+            else:
+                state, metrics = step_fn(state, batch["mel"], batch["wav"])
+
+            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            t_step = time.perf_counter() - t0
+            time_window.append(t_step)
+            if len(time_window) > hp.clear_time:
+                time_window = time_window[-hp.clear_time:]
+
+            # per-step loss files (reference bin/train.py:190-195)
+            with open(os.path.join(current_logger_path, "total_loss.txt"), "a") as f:
+                f.write(f"{metrics['total_loss']}\n")
+            with open(os.path.join(current_logger_path, "stft_loss.txt"), "a") as f:
+                f.write(f"{metrics['stft_loss']}\n")
+
+            if current_step % hp.log_step == 0:
+                mean_t = float(np.mean(time_window))
+                eta = (total_step - current_step) * mean_t
+                msg = (
+                    f"epoch [{epoch + 1}] step [{current_step}/{total_step}] "
+                    + " ".join(f"{k}={v:.6f}" for k, v in sorted(metrics.items()))
+                    + f" step_time={t_step:.3f}s eta={eta / 3600:.1f}h"
+                )
+                logger.info(msg)
+                with open(os.path.join(current_logger_path, "logger.txt"), "a") as f:
+                    f.write(msg + "\n")
+                for k, v in metrics.items():
+                    writer.add_scalar(k, v, global_step=current_step)
+
+            if current_step % hp.save_step == 0:
+                ckpt_file = os.path.join(
+                    current_checkpoint_path, f"checkpoint_{current_step}.pth.tar"
+                )
+                save_checkpoint(
+                    ckpt_file, cfg,
+                    state.gen_params, state.disc_params,
+                    state.gen_opt_state, state.disc_opt_state,
+                    step=current_step,
+                )
+                logger.info(f"saved checkpoint {ckpt_file}")
+
+            if current_step % hp.valid_step == 0:
+                logger.info("Start valid...")
+                valid_rng = np.random.default_rng(current_step)
+                valid_loss_all = 0.0
+                n_items = min(hp.valid_num + 1, len(valid_dataset))
+                order = valid_rng.permutation(len(valid_dataset))[:n_items]
+                for idx in order:
+                    item = valid_dataset.crop(int(idx), valid_rng)
+                    from fastvocoder_tpu.data.dataset import collate
+
+                    vb = collate([item], hp, L=L)
+                    valid_loss_all += float(
+                        valid_fn(state, vb["mel"], vb["wav"])
+                    )
+                # divide by valid_num over valid_num+1 items — reference
+                # quirk preserved (bin/train.py:458-471, SURVEY.md §7)
+                writer.add_scalar(
+                    "valid_stft_loss",
+                    valid_loss_all / float(hp.valid_num),
+                    global_step=current_step,
+                )
+
+            if max_steps and current_step >= max_steps:
+                logger.info(f"reached max_steps={max_steps}; stopping")
+                writer.close()
+                return state
+
+    writer.close()
+    return state
+
+
+def run_train(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--audio_index_path", type=str,
+                        default=os.path.join("dataset", "audio", "train"))
+    parser.add_argument("--mel_index_path", type=str,
+                        default=os.path.join("dataset", "mel", "train"))
+    parser.add_argument("--audio_index_valid_path", type=str,
+                        default=os.path.join("dataset", "audio", "valid"))
+    parser.add_argument("--mel_index_valid_path", type=str,
+                        default=os.path.join("dataset", "mel", "valid"))
+    parser.add_argument("--checkpoint_path", type=str, default="")
+    parser.add_argument("--restore_step", type=int, default=0)
+    parser.add_argument("--learning_rate", type=float, default=HP.learning_rate)
+    parser.add_argument("--learning_rate_discriminator", type=float,
+                        default=HP.learning_rate_discriminator)
+    parser.add_argument("--model_name", type=str,
+                        help="melgan, hifigan, multiband-hifigan, basis-melgan")
+    parser.add_argument("--config", type=str, help="path to model configuration file")
+    parser.add_argument("--use_scheduler", type=int, default=0)
+    parser.add_argument("--mixprecision", type=int, default=0)
+    parser.add_argument("--basis_dataset_path", type=str,
+                        default="Basis-MelGAN-dataset")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max_steps", type=int, default=0,
+                        help="stop after N steps (0 = run forever, like the reference)")
+    parser.add_argument("--test_size", type=int, default=0,
+                        help="truncate the dataset for smoke tests (hp.test_size)")
+    parser.add_argument("--batch_size", type=int, default=HP.batch_size)
+    parser.add_argument("--batch_expand_size", type=int, default=HP.batch_expand_size)
+    parser.add_argument("--fixed_length", type=int, default=HP.fixed_length)
+    parser.add_argument("--save_step", type=int, default=HP.save_step)
+    parser.add_argument("--valid_step", type=int, default=HP.valid_step)
+    parser.add_argument("--valid_num", type=int, default=HP.valid_num)
+    parser.add_argument("--discriminator_train_start_steps", type=int,
+                        default=HP.discriminator_train_start_steps)
+    args = parser.parse_args(argv)
+    run(args)
+
+
+if __name__ == "__main__":
+    run_train()

@@ -1,0 +1,236 @@
+"""Training data pipeline — reference artifact layout, TPU static shapes.
+
+Reproduces the reference's dataset semantics (reference data/dataset.py):
+
+  * `load_data_to_buffer` reads every (wav.npy, mel.npy) pair named by two
+    index files into RAM and pickles the buffer for instant reload
+    (dataset.py:19-52, `test_size` truncation dataset.py:34-35).
+  * random fixed-length crops: `fixed_length` mel frames + the aligned
+    `hop_size * fixed_length` wav samples (dataset.py:66-73); Basis-MelGAN
+    items additionally carry ConvTasNet weight targets cropped at
+    `hop_size / (L/2)` steps per frame (dataset.py:99-100).
+  * mega-batches of `batch_expand_size * batch_size` items, sorted by
+    pre-crop mel length descending and split into `batch_expand_size`
+    sub-batches (dataset.py:131-142).
+
+TPU deltas (deliberate, documented): every batch is padded to exactly
+`fixed_length` frames — not to the max length in the batch — so jitted train
+steps never recompile; host data work is plain numpy (no worker processes —
+crops are O(1) views and the buffer is already in RAM); an optional
+shard (index, count) slices the dataset per data-parallel host.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from fastvocoder_tpu.hparams import HP, Hparams
+
+Item = Dict[str, np.ndarray]
+
+
+def parse_path_file(path_file: str) -> List[str]:
+    """One absolute path per line (reference data/utils.py:9-14)."""
+    with open(path_file, "r", encoding="utf-8") as f:
+        return [line.rstrip("\n") for line in f if line.strip()]
+
+
+def load_data_to_buffer(
+    audio_index_path_file: str,
+    mel_index_path_file: str,
+    feature_savepath: Optional[str] = "features.bin",
+    test_size: int = 0,
+    log=print,
+) -> List[Item]:
+    if feature_savepath and os.path.exists(feature_savepath):
+        log(f"loading buffer from {feature_savepath}")
+        with open(feature_savepath, "rb") as f:
+            return pickle.load(f)
+
+    audio_index = parse_path_file(audio_index_path_file)
+    mel_index = parse_path_file(mel_index_path_file)
+    assert len(audio_index) == len(mel_index)
+    n = len(audio_index)
+    if test_size and test_size < n:
+        n = test_size
+
+    buffer: List[Item] = []
+    start = time.perf_counter()
+    min_length = None
+    for i in range(n):
+        mel = np.load(mel_index[i]).T.astype(np.float32)  # (T, 80)
+        wav = np.load(audio_index[i]).astype(np.float32)
+        min_length = mel.shape[0] if min_length is None else min(min_length, mel.shape[0])
+        buffer.append({"mel": mel, "wav": wav})
+    log(
+        f"loaded {n} items in {time.perf_counter() - start:.1f}s; "
+        f"min mel length {min_length}"
+    )
+
+    if feature_savepath:
+        with open(feature_savepath, "wb") as f:
+            pickle.dump(buffer, f)
+    return buffer
+
+
+@dataclass
+class BufferDataset:
+    """In-RAM (mel, wav) pairs with random fixed-length crops."""
+
+    buffer: List[Item]
+    hp: Hparams = HP
+
+    def __len__(self) -> int:
+        return len(self.buffer)
+
+    def mel_length(self, idx: int) -> int:
+        return self.buffer[idx]["mel"].shape[0]
+
+    def __getitem__(self, idx):  # deterministic full item (validation)
+        return self.buffer[idx]
+
+    def crop(self, idx: int, rng: np.random.Generator) -> Item:
+        data = self.buffer[idx]
+        return crop_item(data, rng, self.hp)
+
+
+@dataclass
+class WeightDataset:
+    """Basis-MelGAN dataset: lazy per-item load of (mel, wav, weight) with
+    aligned crops (reference data/dataset.py:77-114).  `weight_dir` holds
+    `<wav-basename>.npy` ConvTasNet weight targets."""
+
+    audio_index: List[str]
+    mel_index: List[str]
+    L: int
+    weight_dir: str
+    hp: Hparams = HP
+
+    @classmethod
+    def from_index_files(
+        cls, audio_index_file: str, mel_index_file: str, L: int,
+        weight_dir: str, hp: Hparams = HP,
+    ) -> "WeightDataset":
+        a = parse_path_file(audio_index_file)
+        m = parse_path_file(mel_index_file)
+        assert len(a) == len(m)
+        return cls(a, m, L, weight_dir, hp)
+
+    def __len__(self) -> int:
+        return len(self.audio_index)
+
+    def mel_length(self, idx: int) -> int:
+        # lazy dataset: avoid loading the mel just for its length; use the
+        # wav header-free npy (mel is cheaper, (80, T))
+        return int(np.load(self.mel_index[idx], mmap_mode="r").shape[1])
+
+    def load(self, idx: int) -> Item:
+        mel = np.load(self.mel_index[idx]).T.astype(np.float32)
+        wav = np.load(self.audio_index[idx]).astype(np.float32)
+        weight_path = os.path.join(
+            self.weight_dir, os.path.basename(self.audio_index[idx])
+        )
+        weight = np.load(weight_path).T.astype(np.float32)  # (Tw, C)
+        return {"mel": mel, "wav": wav, "weight": weight}
+
+    def __getitem__(self, idx):
+        return self.load(idx)
+
+    def crop(self, idx: int, rng: np.random.Generator) -> Item:
+        return crop_item(self.load(idx), rng, self.hp, L=self.L)
+
+
+def crop_item(
+    data: Item, rng: np.random.Generator, hp: Hparams, L: Optional[int] = None
+) -> Item:
+    """Random `fixed_length`-frame crop with aligned wav (and weight) spans
+    (reference data/dataset.py:63-73, 96-107).  Items shorter than
+    fixed_length are taken whole (the collate pads them)."""
+    len_data = data["mel"].shape[0]
+    fixed = hp.fixed_length
+    if len_data > fixed + 1:
+        start = int(rng.integers(0, len_data - fixed))  # randint upper bound
+    else:
+        start = 0
+    end = start + fixed
+    out: Item = {
+        "mel": data["mel"][start:end],
+        "wav": data["wav"][start * hp.hop_size : end * hp.hop_size],
+    }
+    if "weight" in data:
+        wstep = hp.hop_size // (L // 2)
+        out["weight"] = data["weight"][start * wstep : end * wstep]
+    return out
+
+
+def _pad_to(x: np.ndarray, length: int) -> np.ndarray:
+    if x.shape[0] >= length:
+        return x[:length]
+    pad = [(0, length - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad)
+
+
+def collate(items: Sequence[Item], hp: Hparams, L: Optional[int] = None) -> Item:
+    """Stack crops into a static-shape batch: mel (B, fixed, 80), wav
+    (B, fixed*hop) [, weight (B, fixed*hop/(L/2), C)]."""
+    fixed = hp.fixed_length
+    batch: Item = {
+        "mel": np.stack([_pad_to(d["mel"], fixed) for d in items]),
+        "wav": np.stack([_pad_to(d["wav"], fixed * hp.hop_size) for d in items]),
+    }
+    if "weight" in items[0]:
+        wlen = fixed * (hp.hop_size // (L // 2))
+        batch["weight"] = np.stack([_pad_to(d["weight"], wlen) for d in items])
+    return batch
+
+
+def batch_iterator(
+    dataset,
+    hp: Hparams = HP,
+    seed: int = 0,
+    epoch: int = 0,
+    L: Optional[int] = None,
+    shard_index: int = 0,
+    shard_count: int = 1,
+    batch_size: Optional[int] = None,
+) -> Iterator[Item]:
+    """One epoch of training batches.
+
+    Reference scheme (data/dataset.py:131-142 + bin/train.py:398-405):
+    shuffle, take mega-batches of `batch_expand_size * batch_size`, sort each
+    by mel length descending, emit `batch_expand_size` sub-batches.  With
+    `shard_count > 1` each host sees a disjoint 1/shard_count slice of the
+    shuffled epoch (data-parallel input sharding).
+    """
+    bs = batch_size if batch_size is not None else hp.batch_size
+    mega = bs * hp.batch_expand_size
+    rng = np.random.default_rng((seed, epoch))
+
+    order = rng.permutation(len(dataset))
+    # per-host shard: contiguous slice of the common shuffle
+    per = len(order) // shard_count
+    order = order[shard_index * per : (shard_index + 1) * per]
+
+    for m in range(len(order) // mega):
+        idxs = order[m * mega : (m + 1) * mega]
+        lengths = np.array([dataset.mel_length(i) for i in idxs])
+        idxs = idxs[np.argsort(-lengths)]
+        for j in range(hp.batch_expand_size):
+            sub = idxs[j * bs : (j + 1) * bs]
+            items = [dataset.crop(int(i), rng) for i in sub]
+            yield collate(items, hp, L=L)
+
+
+def num_batches_per_epoch(
+    dataset_len: int, hp: Hparams, shard_count: int = 1,
+    batch_size: Optional[int] = None,
+) -> int:
+    bs = batch_size if batch_size is not None else hp.batch_size
+    mega = bs * hp.batch_expand_size
+    return ((dataset_len // shard_count) // mega) * hp.batch_expand_size

@@ -22,7 +22,7 @@ def adversarial_loss(est_p: DiscOut) -> jnp.ndarray:
     """mean_i MSE(est_p[i][-1], 1) (reference bin/train.py:100-103)."""
     total = 0.0
     for feats in est_p:
-        score = feats[-1]
+        score = feats[-1].astype(jnp.float32)  # loss math always f32 (bf16-safe)
         total = total + jnp.mean(jnp.square(score - 1.0))
     return total / float(len(est_p))
 
@@ -33,7 +33,9 @@ def feature_map_loss(est_p: DiscOut, real_p: DiscOut) -> jnp.ndarray:
     total = 0.0
     for est_feats, real_feats in zip(est_p, real_p):
         for e, r in zip(est_feats[:-1], real_feats[:-1]):
-            total = total + jnp.mean(jnp.abs(e - jax.lax.stop_gradient(r)))
+            e = e.astype(jnp.float32)
+            r = jax.lax.stop_gradient(r).astype(jnp.float32)
+            total = total + jnp.mean(jnp.abs(e - r))
     return total / (float(len(est_p)) * float(len(est_p[0]) - 1))
 
 
@@ -45,7 +47,9 @@ def discriminator_loss(
     real_loss = 0.0
     fake_loss = 0.0
     for real_feats, fake_feats in zip(real_p, fake_p):
-        real_loss = real_loss + jnp.mean(jnp.square(real_feats[-1] - 1.0))
-        fake_loss = fake_loss + jnp.mean(jnp.square(fake_feats[-1]))
+        real = real_feats[-1].astype(jnp.float32)
+        fake = fake_feats[-1].astype(jnp.float32)
+        real_loss = real_loss + jnp.mean(jnp.square(real - 1.0))
+        fake_loss = fake_loss + jnp.mean(jnp.square(fake))
     n = float(len(real_p))
     return real_loss / n, fake_loss / n

@@ -103,6 +103,7 @@ class PeriodDiscriminator(nn.Module):
             1, (3, 1), strides=(1, 1), padding=(1, 0),
             compute_dtype=self.compute_dtype, name="conv_post",
         )(x)
+        outs.append(x)  # conv_post map is also a feature (reference mpd.py:162)
         outs.append(x.reshape(b, -1, 1))  # flattened score, list-of-lists protocol
         return tuple(outs)
 

@@ -382,3 +382,101 @@ def fuse_weight_norm(params):
         return {kk: fuse(vv) for kk, vv in node.items()}
 
     return fuse(params)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint file IO (torch.load-compatible, reference dict layout)
+# ---------------------------------------------------------------------------
+#
+# The reference saves {'model', 'optimizer', 'discriminator',
+# 'discriminator_optimizer'} (bin/train.py:235-247) and publishes
+# {'model', 'pattern'} (bin/publish.py:71-74).  We write the same top-level
+# keys with torch.save: 'model'/'discriminator' hold the reference key layout
+# exactly (loadable by the torch reference via load_state_dict), while the
+# optimizer entries hold the native optax state trees (a torch Adam state
+# cannot represent optax's pytree; the reference's own restore tolerates
+# missing/any optimizer content via its bare try/except, bin/train.py:359-373).
+
+
+def _torch():
+    import torch
+
+    return torch
+
+
+def save_checkpoint(
+    path: str,
+    cfg,
+    gen_params,
+    disc_params=None,
+    gen_opt_state=None,
+    disc_opt_state=None,
+    step: int = 0,
+    extra: Optional[dict] = None,
+):
+    import jax
+
+    torch = _torch()
+    host = lambda tree: jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+    out: dict = {
+        "model": {
+            k: torch.from_numpy(np.asarray(v))
+            for k, v in flax_to_torch(host(gen_params), generator_key_map(cfg)).items()
+        },
+        "step": int(step),
+    }
+    if disc_params is not None:
+        d = {
+            k: torch.from_numpy(np.asarray(v))
+            for k, v in flax_to_torch(host(disc_params), discriminator_key_map()).items()
+        }
+        for k, v in discriminator_buffers().items():
+            d[k] = torch.from_numpy(np.asarray(v))
+        out["discriminator"] = d
+    if gen_opt_state is not None:
+        out["optimizer"] = host(gen_opt_state)
+    if disc_opt_state is not None:
+        out["discriminator_optimizer"] = host(disc_opt_state)
+    if extra:
+        out.update(extra)
+    torch.save(out, path)
+
+
+def load_checkpoint(path: str, cfg, with_discriminator: bool = True) -> dict:
+    """Load a framework or reference torch checkpoint into flax param trees.
+
+    Returns {'gen_params', 'disc_params'?, 'optimizer'?,
+    'discriminator_optimizer'?, 'step', 'pattern'?}.
+    """
+    torch = _torch()
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    out: dict = {
+        "gen_params": torch_to_flax(ckpt["model"], generator_key_map(cfg)),
+        "step": int(ckpt.get("step", 0)),
+    }
+    if with_discriminator and "discriminator" in ckpt:
+        out["disc_params"] = torch_to_flax(
+            ckpt["discriminator"], discriminator_key_map()
+        )
+    for k in ("optimizer", "discriminator_optimizer", "pattern"):
+        if k in ckpt:
+            out[k] = ckpt[k]
+    return out
+
+
+def save_published(path: str, cfg, gen_params, pattern: np.ndarray):
+    """Published artifact: {'model', 'pattern'} (reference bin/publish.py:71-74)."""
+    import jax
+
+    torch = _torch()
+    host = jax.tree_util.tree_map(np.asarray, jax.device_get(gen_params))
+    torch.save(
+        {
+            "model": {
+                k: torch.from_numpy(np.asarray(v))
+                for k, v in flax_to_torch(host, generator_key_map(cfg)).items()
+            },
+            "pattern": np.asarray(pattern),
+        },
+        path,
+    )

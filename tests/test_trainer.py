@@ -1,0 +1,156 @@
+"""Train-step behavior tests: loss descent, phase semantics, basis freezing,
+and data-parallel execution on the virtual 8-device CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastvocoder_tpu.hparams import (
+    BasisMelGANConfig,
+    HP,
+    MelGANConfig,
+    ModelConfig,
+)
+from fastvocoder_tpu.parallel import (
+    compile_train_step_no_weight,
+    make_mesh,
+    replicate_state,
+    shard_batch,
+)
+from fastvocoder_tpu.train.trainer import make_trainer
+
+FIXED = 20  # tiny crop: wav = 20 * 240 = 4800 samples
+TINY_HP = HP.replace(fixed_length=FIXED)
+
+
+def tiny_melgan_cfg(lambda_stft=1.0):
+    arch = MelGANConfig(channels=(16, 16, 16, 16, 16))
+    return ModelConfig(model_name="melgan", arch=arch, lambda_stft=lambda_stft)
+
+
+def tiny_basis_cfg():
+    arch = BasisMelGANConfig(out_channels=16, channels=(16, 16, 16))
+    return ModelConfig(
+        model_name="basis-melgan", arch=arch, lambda_stft=1.0,
+        use_feature_map_loss=False,
+    )
+
+
+def make_batch(rng, B=2, fixed=FIXED):
+    mel = rng.standard_normal((B, fixed, 80)).astype(np.float32)
+    t = np.arange(fixed * 240, dtype=np.float32)
+    wav = np.stack(
+        [0.3 * np.sin(2 * np.pi * 220 * (i + 1) * t / 24000) for i in range(B)]
+    ).astype(np.float32)
+    return mel, wav
+
+
+def test_pre_adv_step_descends(rng):
+    trainer = make_trainer(tiny_melgan_cfg(), hp=TINY_HP)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    mel, wav = make_batch(rng)
+    step = jax.jit(trainer.pre_adv_step)
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, mel, wav)
+        losses.append(float(metrics["stft_loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 5
+
+
+def test_gan_step_updates_both_and_is_finite(rng):
+    trainer = make_trainer(tiny_melgan_cfg(), hp=TINY_HP)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    mel, wav = make_batch(rng)
+    g0 = jax.tree_util.tree_leaves(state.gen_params)[0].copy()
+    d0 = jax.tree_util.tree_leaves(state.disc_params)[0].copy()
+
+    state, metrics = jax.jit(trainer.gan_step)(state, mel, wav)
+
+    for k in ("stft_loss", "adversarial_loss", "feature_map_loss",
+              "discriminator_loss", "total_loss"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    assert not np.allclose(jax.tree_util.tree_leaves(state.gen_params)[0], g0)
+    assert not np.allclose(jax.tree_util.tree_leaves(state.disc_params)[0], d0)
+
+
+def test_basis_melgan_step_freezes_basis(rng):
+    basis = rng.standard_normal((30, 16)).astype(np.float32)
+    trainer = make_trainer(
+        tiny_basis_cfg(), hp=TINY_HP, basis_signal_weight=basis
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    mel, wav = make_batch(rng)
+    weight = 0.1 * np.abs(rng.standard_normal((2, FIXED * 16, 16))).astype(np.float32)
+
+    step = jax.jit(trainer.pre_adv_step)
+    for _ in range(3):
+        state, metrics = step(state, mel, wav, weight)
+
+    assert "weight_loss" in metrics and np.isfinite(float(metrics["weight_loss"]))
+    # basis layer frozen (reference bin/train.py:329-331)
+    np.testing.assert_array_equal(
+        np.asarray(state.gen_params["basis_signal"]["basis"]), basis
+    )
+    # trunk did train
+    assert not np.allclose(
+        np.asarray(state.gen_params["conv_pre"]["kernel"]),
+        np.asarray(trainer.init_state(jax.random.PRNGKey(0)).gen_params["conv_pre"]["kernel"]),
+    )
+
+
+def test_scheduler_matches_torch_formula():
+    from fastvocoder_tpu.train.trainer import torch_cosine_annealing
+
+    s = torch_cosine_annealing(1e-4, t_max=2500)
+    assert np.isclose(float(s(0)), 1e-4)
+    assert np.isclose(float(s(2500)), 1e-5)
+    assert np.isclose(float(s(1250)), (1e-4 + 1e-5) / 2)
+
+
+def test_data_parallel_step_on_mesh(rng):
+    """8-way DP on the virtual CPU mesh: replicated state, sharded batch."""
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    trainer = make_trainer(tiny_melgan_cfg(), hp=TINY_HP)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = replicate_state(state, mesh)
+
+    mel, wav = make_batch(rng, B=8)
+    batch = shard_batch({"mel": mel, "wav": wav}, mesh)
+
+    step = compile_train_step_no_weight(trainer.pre_adv_step, mesh)
+    state, metrics = step(state, batch["mel"], batch["wav"])
+    assert np.isfinite(float(metrics["stft_loss"]))
+
+    # DP-equivalence: the sharded step == the single-device step on the
+    # same global batch
+    state1 = trainer.init_state(jax.random.PRNGKey(0))
+    state1, m1 = jax.jit(trainer.pre_adv_step)(state1, mel, wav)
+    np.testing.assert_allclose(
+        float(m1["stft_loss"]), float(metrics["stft_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(state1.gen_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.gen_params)[0]),
+        atol=1e-6,
+    )
+
+
+def test_bf16_mixed_precision_step(rng):
+    """compute_dtype=bfloat16: f32 master params, bf16 conv compute, finite
+    f32 losses (the reference's amp-O1 analog)."""
+    import jax.numpy as jnp
+
+    trainer = make_trainer(tiny_melgan_cfg(), hp=TINY_HP, compute_dtype=jnp.bfloat16)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    # master params stay f32
+    assert jax.tree_util.tree_leaves(state.gen_params)[0].dtype == jnp.float32
+    mel, wav = make_batch(rng)
+    state, metrics = jax.jit(trainer.gan_step)(state, mel, wav)
+    for k, v in metrics.items():
+        assert np.asarray(v).dtype == np.float32 and np.isfinite(float(v)), k
