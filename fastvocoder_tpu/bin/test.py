@@ -82,9 +82,11 @@ def run_test(argv=None):
         for mel in mels:  # compile outside the timed region
             synthesizer.test_rtf(mel)
         s = time.perf_counter()
+        out = None
         for _ in range(10):
             for mel in mels:
-                synthesizer.test_rtf(mel)
+                out = synthesizer.test_rtf(mel)
+        out.block_until_ready()
         cost = time.perf_counter() - s
         print(f"cost time: {cost}s.")
         rtf = cost / (10.0 * duration)
