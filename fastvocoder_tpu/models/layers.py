@@ -363,8 +363,8 @@ class BasisSignalLayer(nn.Module):
         else:
             init = lambda rng: jnp.zeros((self.L, self.in_features), jnp.float32)
         basis = self.param("basis", init)
-        frames = jnp.einsum(
-            "btc,lc->btl", weight, basis.astype(weight.dtype),
-            preferred_element_type=weight.dtype,
-        )
-        return overlap_and_add(frames, self.L // 2)
+        # fused shift-matmul decode: no frames tensor, no overlap-add pass
+        # (ops/basis_decode.py; == einsum + overlap_and_add numerically)
+        from fastvocoder_tpu.ops.basis_decode import basis_decode
+
+        return basis_decode(weight, basis)

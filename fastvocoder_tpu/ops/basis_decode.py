@@ -1,0 +1,133 @@
+"""Fused Basis-MelGAN decode: weights @ basis + 50%-overlap-add in one op.
+
+The reference decodes in two steps: a linear layer producing frames
+(B, F, L) followed by a scatter-add overlap-add (reference
+model/generator/modules.py:255-267, 34-73).  With 50% overlap
+(hop = L/2) every output sample is the sum of exactly two frame samples, so
+the whole decode collapses into a *shift-matmul*:
+
+    out[f*hop : (f+1)*hop] = W[f] @ basis[:hop].T  +  W[f-1] @ basis[hop:].T
+
+i.e. one (rows, C) x (C, hop) matmul pair over zero-shifted copies of the
+weight matrix — no frames tensor in HBM, no scatter, pure MXU work.  Both an
+XLA implementation and a Pallas TPU kernel of the same algorithm live here;
+they are numerically identical (tests/test_basis_decode.py) and the model
+picks via `fastvocoder_tpu.ops.basis_decode.set_default_impl` or the
+FASTVOCODER_BASIS_DECODE env var.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+Impl = Literal["xla", "pallas"]
+
+_DEFAULT_IMPL: Impl = os.environ.get("FASTVOCODER_BASIS_DECODE", "xla")  # type: ignore
+
+
+def set_default_impl(impl: Impl) -> None:
+    global _DEFAULT_IMPL
+    assert impl in ("xla", "pallas"), impl
+    _DEFAULT_IMPL = impl
+
+
+def _shifted_operands(weight: jnp.ndarray):
+    """weight (B, F, C) -> (a, b) both (B, F+1, C): a[f] = W[f] (0 at f=F),
+    b[f] = W[f-1] (0 at f=0)."""
+    a = jnp.pad(weight, ((0, 0), (0, 1), (0, 0)))
+    b = jnp.pad(weight, ((0, 0), (1, 0), (0, 0)))
+    return a, b
+
+
+def basis_decode_xla(weight: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
+    """weight (B, F, C), basis (L, C) with even L -> wav (B, (F-1)*hop + L),
+    hop = L // 2."""
+    L, C = basis.shape
+    hop = L // 2
+    b1 = basis[:hop].T.astype(weight.dtype)  # (C, hop)
+    b2 = basis[hop:].T.astype(weight.dtype)
+    a, b = _shifted_operands(weight)
+    out = jnp.einsum(
+        "bfc,ch->bfh", a, b1, preferred_element_type=weight.dtype
+    ) + jnp.einsum("bfc,ch->bfh", b, b2, preferred_element_type=weight.dtype)
+    Bsz, Fp1, _ = out.shape
+    return out.reshape(Bsz, Fp1 * hop)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def basis_decode_pallas(
+    weight: jnp.ndarray,
+    basis: jnp.ndarray,
+    block_rows: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas TPU kernel of the same shift-matmul decode.
+
+    Grid over row-blocks of the flattened (B*(F+1), C) shifted operands;
+    each program computes one (block_rows, hop) output tile as two MXU dots
+    held in VMEM.  Bandwidth-bound: weight rows are read twice from HBM and
+    the tiny basis halves stay resident in VMEM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, C = basis.shape
+    hop = L // 2
+    Bsz, F, _ = weight.shape
+    a, b = _shifted_operands(weight)
+    rows = Bsz * (F + 1)
+    a = a.reshape(rows, C)
+    b = b.reshape(rows, C)
+
+    pad_rows = (-rows) % block_rows
+    if pad_rows:
+        a = jnp.pad(a, ((0, pad_rows), (0, 0)))
+        b = jnp.pad(b, ((0, pad_rows), (0, 0)))
+    total = rows + pad_rows
+
+    b1 = basis[:hop].T.astype(weight.dtype)  # (C, hop)
+    b2 = basis[hop:].T.astype(weight.dtype)
+
+    def kernel(a_ref, b_ref, b1_ref, b2_ref, out_ref):
+        out_ref[:] = jnp.dot(
+            a_ref[:], b1_ref[:], preferred_element_type=jnp.float32
+        ) + jnp.dot(b_ref[:], b2_ref[:], preferred_element_type=jnp.float32)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(total // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hop), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, hop), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, hop), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((total, hop), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * total * C * hop,
+            bytes_accessed=2 * total * C * 4 + total * hop * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, b, b1, b2)
+
+    out = out[:rows].reshape(Bsz, (F + 1) * hop)
+    return out.astype(jnp.float32)
+
+
+def basis_decode(
+    weight: jnp.ndarray, basis: jnp.ndarray, impl: Impl | None = None
+) -> jnp.ndarray:
+    """Fused decode; output length (F-1)*hop + L == (F+1)*hop exactly."""
+    impl = impl or _DEFAULT_IMPL
+    if impl == "pallas":
+        return basis_decode_pallas(weight, basis)
+    return basis_decode_xla(weight, basis)
