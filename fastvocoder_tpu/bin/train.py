@@ -34,6 +34,22 @@ logging.basicConfig(level=logging.INFO)
 logger = logging.getLogger(__name__)
 
 
+def _latest_checkpoint(run_dir: str):
+    """Newest checkpoint_<step>.pth.tar under run_dir (searched recursively,
+    so both a run dir and the parent checkpoint/ root work)."""
+    best, best_step = None, -1
+    for root, _, files in os.walk(run_dir):
+        for f in files:
+            if f.startswith("checkpoint_") and f.endswith(".pth.tar"):
+                try:
+                    step = int(f[len("checkpoint_"):-len(".pth.tar")])
+                except ValueError:
+                    continue
+                if step > best_step:
+                    best, best_step = os.path.join(root, f), step
+    return best
+
+
 class _NoopWriter:
     def add_scalar(self, *a, **k):
         pass
@@ -118,9 +134,20 @@ def run(args):
 
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
     restored = False
-    if args.checkpoint_path:
+    ckpt_path = args.checkpoint_path
+    if ckpt_path and os.path.isdir(ckpt_path):
+        # elastic resume: a run directory picks its latest checkpoint (the
+        # reference has no recovery story, SURVEY.md §5)
+        latest = _latest_checkpoint(ckpt_path)
+        if latest:
+            logger.info(f"auto-resuming from {latest}")
+            ckpt_path = latest
+        else:
+            logger.warning(f"no checkpoints under {ckpt_path}")
+            ckpt_path = ""
+    if ckpt_path:
         try:
-            ckpt = load_checkpoint(args.checkpoint_path, cfg)
+            ckpt = load_checkpoint(ckpt_path, cfg)
             state = state.replace(gen_params=ckpt["gen_params"])
             if "disc_params" in ckpt:
                 logger.info("loading discriminator")
@@ -132,6 +159,8 @@ def run(args):
                     disc_opt_state=ckpt["discriminator_optimizer"]
                 )
             restored = True
+            if not args.restore_step and ckpt.get("step"):
+                args.restore_step = ckpt["step"]
             logger.info(f"\n---Model Restored at Step {args.restore_step}---\n")
         except Exception as e:  # reference falls back to fresh (train.py:371-373)
             logger.warning(f"checkpoint restore failed ({e}); starting fresh")

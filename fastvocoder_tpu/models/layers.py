@@ -152,21 +152,27 @@ class WNConvTranspose1d(nn.Module):
 
 
 class CausalWNConv1d(nn.Module):
-    """Causal conv: left-pad (k-1)*d then trim to input length
-    (reference modules.py:273-294)."""
+    """Causal conv: pad (k-1)*d on both sides, then keep the first T outputs
+    (reference modules.py:273-294).  Inside MelGAN's causal ResidualStack the
+    pad module is the stack's default ReflectionPad1d (modules.py:331,364),
+    so `pad_mode="reflect"` is the default here."""
 
     features: int
     kernel_size: int
     dilation: int = 1
     use_bias: bool = True
     weight_norm: bool = True
+    pad_mode: str = "reflect"  # "reflect" | "constant"
     pad_value: float = 0.0
     compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = (self.kernel_size - 1) * self.dilation
-        x = constant_pad1d(x, (pad, pad), self.pad_value)
+        if self.pad_mode == "reflect":
+            x = reflect_pad1d(x, (pad, pad))
+        else:
+            x = constant_pad1d(x, (pad, pad), self.pad_value)
         y = WNConv1d(
             self.features,
             self.kernel_size,

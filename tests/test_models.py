@@ -221,3 +221,66 @@ def test_discriminator_parity(rng):
                 o, t, atol=5e-4, rtol=1e-3,
                 err_msg=f"scale {scale_i} layer {layer_i}",
             )
+
+
+@requires_reference
+def test_hifigan_nearest_interp_upsample_parity(rng):
+    """transposedconv=False exercises the anti-checkerboard UpsampleLayer
+    (reference hifigan.py:30-44, modules.py:135-177)."""
+    reference_on_path()
+    import torch
+
+    torch.manual_seed(11)
+    cfg = load_model_config("hifigan", os.path.join(CONF, "hifigan/light.yaml"))
+    raw = dict(cfg.raw, transposedconv=False)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, arch=dataclasses.replace(cfg.arch, transposedconv=False), raw=raw
+    )
+    ref = _build_reference_model("hifigan", raw)
+    ref.eval()
+    params = torch_to_flax(ref.state_dict(), generator_key_map(cfg))
+    gen = build_generator(cfg)
+
+    mel = rng.standard_normal((1, 80, 10)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(mel)).numpy()
+    if ref_out.ndim == 3:
+        ref_out = ref_out[:, 0, :]
+    out = np.asarray(gen.apply({"params": params}, np.transpose(mel, (0, 2, 1))))
+    np.testing.assert_allclose(out, ref_out, atol=2e-4, rtol=1e-3)
+
+
+@requires_reference
+def test_melgan_causal_parity(rng):
+    """use_causal_conv=True exercises CausalConv1d stacks
+    (reference modules.py:273-317, 360-367)."""
+    reference_on_path()
+    import torch
+
+    torch.manual_seed(12)
+    cfg = load_model_config("melgan", os.path.join(CONF, "melgan/original.yaml"))
+    raw = dict(cfg.raw, use_causal_conv=True,
+               channels=[64, 32, 16, 16, 16])  # small for test speed
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg,
+        arch=dataclasses.replace(
+            cfg.arch, use_causal_conv=True, channels=(64, 32, 16, 16, 16)
+        ),
+        raw=raw,
+    )
+    ref = _build_reference_model("melgan", raw)
+    ref.eval()
+    params = torch_to_flax(ref.state_dict(), generator_key_map(cfg))
+    gen = build_generator(cfg)
+
+    mel = rng.standard_normal((1, 80, 12)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(mel)).numpy()
+    if ref_out.ndim == 3:
+        ref_out = ref_out[:, 0, :]
+    out = np.asarray(gen.apply({"params": params}, np.transpose(mel, (0, 2, 1))))
+    np.testing.assert_allclose(out, ref_out, atol=2e-4, rtol=1e-3)

@@ -1,0 +1,41 @@
+"""Runtime utilities: step timer semantics and device prefetch."""
+
+import numpy as np
+
+from fastvocoder_tpu.runtime import StepTimer, prefetch_to_device
+
+
+def test_step_timer_window_compaction():
+    t = StepTimer(clear_time=3)
+    for _ in range(5):
+        t.start()
+        t.stop()
+    # compaction keeps the window bounded (reference bin/train.py:250-254)
+    assert len(t.window) <= 3 + 1
+    assert t.mean >= 0
+    assert t.eta_seconds(10, 20) == 10 * t.mean
+
+
+def test_prefetch_to_device_yields_all_batches(rng):
+    batches = [
+        {"mel": rng.standard_normal((2, 4, 8)).astype(np.float32)} for _ in range(5)
+    ]
+    out = list(prefetch_to_device(iter(batches), mesh=None, size=2))
+    assert len(out) == 5
+    for a, b in zip(out, batches):
+        np.testing.assert_array_equal(np.asarray(a["mel"]), b["mel"])
+
+
+def test_prefetch_propagates_errors(rng):
+    def gen():
+        yield {"x": np.zeros((1,), np.float32)}
+        raise RuntimeError("boom")
+
+    it = prefetch_to_device(gen(), mesh=None)
+    next(it)
+    try:
+        next(it)
+        raised = False
+    except RuntimeError as e:
+        raised = "boom" in str(e)
+    assert raised
