@@ -30,6 +30,10 @@ HOP = 240
 def main():
     import jax
 
+    import fastvocoder_tpu
+
+    fastvocoder_tpu.enable_compilation_cache()
+
     from fastvocoder_tpu.hparams import load_model_config
     from fastvocoder_tpu.models.factory import build_generator
 
@@ -55,20 +59,29 @@ def main():
 
     params = gen.init(jax.random.PRNGKey(0), mels[:1, :8])["params"]
 
+    import jax.numpy as jnp
+
+    # Each call returns a scalar checksum of its waveform; the final float()
+    # fetch forces every queued inference to really complete.  (On remote
+    # device links `block_until_ready` can return before execution, which
+    # would under-measure.)
     @jax.jit
     def synth(params, mel):
-        return gen.apply({"params": params}, mel, method=gen.inference)
+        return jnp.sum(gen.apply({"params": params}, mel, method=gen.inference))
+
+    add = jax.jit(lambda a, b: a + b)
 
     # sequential per-utterance synthesis (the reference iterates mels one by
     # one, bin/test.py:126-129)
-    wav = synth(params, mels[:1])
-    wav.block_until_ready()  # compile
+    acc = synth(params, mels[:1])
+    float(add(acc, acc))  # compile both programs + settle
 
     start = time.perf_counter()
+    acc = jnp.float32(0)
     for _ in range(REPEATS):
         for i in range(n_utts):
-            wav = synth(params, mels[i : i + 1])
-        wav.block_until_ready()
+            acc = add(acc, synth(params, mels[i : i + 1]))
+    float(acc)  # one host fetch; the dependency chain forces all work
     cost = time.perf_counter() - start
     rtf = cost / (REPEATS * duration)
 

@@ -21,3 +21,15 @@ A from-scratch rebuild of the capabilities of xcmyz/FastVocoder (reference at
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str = "/tmp/fastvocoder_jax_cache") -> None:
+    """Persistent XLA compilation cache — makes repeated CLI invocations skip
+    recompiles. Called automatically by the CLI drivers and bench."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs
+        pass

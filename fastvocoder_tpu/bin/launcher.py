@@ -9,6 +9,9 @@ sys.path.insert(
 )
 
 if __name__ == "__main__":
+    import fastvocoder_tpu
+
+    fastvocoder_tpu.enable_compilation_cache()
     from fastvocoder_tpu.bin import (
         run_preprocess,
         run_publisher,
