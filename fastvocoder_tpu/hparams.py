@@ -145,6 +145,47 @@ class BasisMelGANConfig:
 
 
 @dataclass(frozen=True)
+class DiscriminatorConfig:
+    """Composite-discriminator sizes (reference hard-codes these:
+    model/discriminator/msd.py:117-202, mfd.py:146-175).  Making them
+    config lets tests / the multi-chip dryrun use small widths — the
+    full-size defaults below are the reference's exact architecture."""
+
+    # MSD — MelGAN multi-scale (reference msd.py)
+    msd_scales: int = 3
+    msd_channels: int = 16
+    msd_max_channels: int = 1024
+    msd_downsample_scales: Sequence[int] = (4, 4, 4, 4)
+    # MFD — multi-resolution STFT (reference mfd.py)
+    mfd_fft_sizes: Sequence[int] = (2048, 1024, 512)
+    mfd_hop_sizes: Sequence[int] = (240, 120, 50)
+    mfd_win_lengths: Sequence[int] = (1200, 600, 240)
+    mfd_channels: int = 64
+    mfd_max_channels: int = 1024
+    mfd_downsample_scales: Sequence[int] = (4, 4)
+    # MPD — optional, unwired in the reference (discriminator.py:16)
+    use_mpd: bool = False
+
+
+DISC = DiscriminatorConfig()
+
+# Small widths for CPU-mesh tests and the driver's multi-chip dryrun: the
+# same layer structure (grouped strided convs, in-graph STFT) at a fraction
+# of the compile cost.
+TINY_DISC = DiscriminatorConfig(
+    msd_channels=4,
+    msd_max_channels=32,
+    msd_downsample_scales=(4, 4),
+    mfd_fft_sizes=(256,),
+    mfd_hop_sizes=(64,),
+    mfd_win_lengths=(128,),
+    mfd_channels=8,
+    mfd_max_channels=32,
+    mfd_downsample_scales=(4,),
+)
+
+
+@dataclass(frozen=True)
 class ModelConfig:
     """Parsed per-model YAML plus the shared loss flags."""
 

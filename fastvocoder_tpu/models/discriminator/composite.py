@@ -12,6 +12,7 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from fastvocoder_tpu.hparams import DISC, DiscriminatorConfig
 from fastvocoder_tpu.models.discriminator.mfd import MultiResolutionSTFTDiscriminator
 from fastvocoder_tpu.models.discriminator.mpd import MultiPeriodDiscriminator
 from fastvocoder_tpu.models.discriminator.msd import MelGANMultiScaleDiscriminator
@@ -19,6 +20,7 @@ from fastvocoder_tpu.models.discriminator.msd import MelGANMultiScaleDiscriminat
 
 class Discriminator(nn.Module):
     use_mpd: bool = False  # reference keeps MPD unwired (discriminator.py:16)
+    cfg: DiscriminatorConfig = DISC
     compute_dtype: Any = None
 
     @nn.compact
@@ -27,10 +29,20 @@ class Discriminator(nn.Module):
         if x.ndim == 2:
             x = x[..., None]
         outs = MelGANMultiScaleDiscriminator(
-            compute_dtype=self.compute_dtype, name="msd"
+            scales=self.cfg.msd_scales,
+            channels=self.cfg.msd_channels,
+            max_downsample_channels=self.cfg.msd_max_channels,
+            downsample_scales=self.cfg.msd_downsample_scales,
+            compute_dtype=self.compute_dtype, name="msd",
         )(x)
         outs = outs + MultiResolutionSTFTDiscriminator(
-            compute_dtype=self.compute_dtype, name="mfd"
+            fft_sizes=self.cfg.mfd_fft_sizes,
+            hop_sizes=self.cfg.mfd_hop_sizes,
+            win_lengths=self.cfg.mfd_win_lengths,
+            channels=self.cfg.mfd_channels,
+            max_downsample_channels=self.cfg.mfd_max_channels,
+            downsample_scales=self.cfg.mfd_downsample_scales,
+            compute_dtype=self.compute_dtype, name="mfd",
         )(x)
         if self.use_mpd:
             outs = outs + MultiPeriodDiscriminator(

@@ -88,6 +88,9 @@ class MultiResolutionSTFTDiscriminator(nn.Module):
     fft_sizes: Sequence[int] = (2048, 1024, 512)
     hop_sizes: Sequence[int] = (240, 120, 50)
     win_lengths: Sequence[int] = (1200, 600, 240)
+    channels: int = 64
+    max_downsample_channels: int = 1024
+    downsample_scales: Sequence[int] = (4, 4)
     compute_dtype: Any = None
 
     @nn.compact
@@ -102,6 +105,9 @@ class MultiResolutionSTFTDiscriminator(nn.Module):
             outs.append(
                 STFTDiscriminator(
                     fft_size=fs, shift_size=ss, win_length=wl,
+                    channels=self.channels,
+                    max_downsample_channels=self.max_downsample_channels,
+                    downsample_scales=self.downsample_scales,
                     compute_dtype=self.compute_dtype, name=f"disc_{i}",
                 )(x)
             )

@@ -73,6 +73,9 @@ class MelGANDiscriminator(nn.Module):
 
 class MelGANMultiScaleDiscriminator(nn.Module):
     scales: int = 3
+    channels: int = 16
+    max_downsample_channels: int = 1024
+    downsample_scales: Sequence[int] = (4, 4, 4, 4)
     compute_dtype: Any = None
 
     @nn.compact
@@ -82,7 +85,11 @@ class MelGANMultiScaleDiscriminator(nn.Module):
         for s in range(self.scales):
             outs.append(
                 MelGANDiscriminator(
-                    compute_dtype=self.compute_dtype, name=f"disc_{s}"
+                    channels=self.channels,
+                    max_downsample_channels=self.max_downsample_channels,
+                    downsample_scales=self.downsample_scales,
+                    compute_dtype=self.compute_dtype,
+                    name=f"disc_{s}",
                 )(x)
             )
             x = avg_pool1d(x, 4, 2, 1, count_include_pad=False)

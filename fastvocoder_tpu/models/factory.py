@@ -8,7 +8,7 @@ from typing import Any, Optional
 
 import numpy as np
 
-from fastvocoder_tpu.hparams import ModelConfig
+from fastvocoder_tpu.hparams import DISC, DiscriminatorConfig, ModelConfig
 from fastvocoder_tpu.models.basis_melgan import BasisMelGANGenerator
 from fastvocoder_tpu.models.discriminator.composite import Discriminator
 from fastvocoder_tpu.models.hifigan import HiFiGANGenerator
@@ -49,5 +49,12 @@ def build_generator(
     raise ValueError(f"no model find! ({name})")
 
 
-def build_discriminator(use_mpd: bool = False, compute_dtype: Any = None) -> Discriminator:
-    return Discriminator(use_mpd=use_mpd, compute_dtype=compute_dtype)
+def build_discriminator(
+    use_mpd: bool = False,
+    disc_cfg: DiscriminatorConfig = DISC,
+    compute_dtype: Any = None,
+) -> Discriminator:
+    return Discriminator(
+        use_mpd=use_mpd or disc_cfg.use_mpd, cfg=disc_cfg,
+        compute_dtype=compute_dtype,
+    )

@@ -36,7 +36,7 @@ import optax
 from flax import struct
 from flax.core import FrozenDict
 
-from fastvocoder_tpu.hparams import HP, Hparams, ModelConfig
+from fastvocoder_tpu.hparams import DISC, DiscriminatorConfig, HP, Hparams, ModelConfig
 from fastvocoder_tpu.losses import (
     adversarial_loss,
     discriminator_loss,
@@ -321,6 +321,7 @@ def make_trainer(
     learning_rate: Optional[float] = None,
     learning_rate_discriminator: Optional[float] = None,
     compute_dtype: Any = None,
+    disc_cfg: DiscriminatorConfig = DISC,
 ) -> Trainer:
     """compute_dtype=jnp.bfloat16 gives mixed-precision training: bf16
     activations/kernels inside the conv stacks, f32 master params and f32
@@ -331,7 +332,9 @@ def make_trainer(
     generator = build_generator(
         cfg, basis_signal_weight=basis_signal_weight, compute_dtype=compute_dtype
     )
-    discriminator = build_discriminator(compute_dtype=compute_dtype)
+    discriminator = build_discriminator(
+        disc_cfg=disc_cfg, compute_dtype=compute_dtype
+    )
     return Trainer(
         cfg=cfg,
         hp=hp,

@@ -21,6 +21,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent XLA compilation cache: repeat suite runs skip recompiles
+import fastvocoder_tpu  # noqa: E402
+
+fastvocoder_tpu.enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -13,6 +13,7 @@ from fastvocoder_tpu.hparams import (
     HP,
     MelGANConfig,
     ModelConfig,
+    TINY_DISC,
 )
 from fastvocoder_tpu.parallel import (
     compile_train_step_no_weight,
@@ -49,7 +50,7 @@ def make_batch(rng, B=2, fixed=FIXED):
 
 
 def test_pre_adv_step_descends(rng):
-    trainer = make_trainer(tiny_melgan_cfg(), hp=TINY_HP)
+    trainer = make_trainer(tiny_melgan_cfg(), hp=TINY_HP, disc_cfg=TINY_DISC)
     state = trainer.init_state(jax.random.PRNGKey(0))
     mel, wav = make_batch(rng)
     step = jax.jit(trainer.pre_adv_step)
@@ -63,7 +64,7 @@ def test_pre_adv_step_descends(rng):
 
 
 def test_gan_step_updates_both_and_is_finite(rng):
-    trainer = make_trainer(tiny_melgan_cfg(), hp=TINY_HP)
+    trainer = make_trainer(tiny_melgan_cfg(), hp=TINY_HP, disc_cfg=TINY_DISC)
     state = trainer.init_state(jax.random.PRNGKey(0))
     mel, wav = make_batch(rng)
     g0 = jax.tree_util.tree_leaves(state.gen_params)[0].copy()
@@ -81,7 +82,8 @@ def test_gan_step_updates_both_and_is_finite(rng):
 def test_basis_melgan_step_freezes_basis(rng):
     basis = rng.standard_normal((30, 16)).astype(np.float32)
     trainer = make_trainer(
-        tiny_basis_cfg(), hp=TINY_HP, basis_signal_weight=basis
+        tiny_basis_cfg(), hp=TINY_HP, basis_signal_weight=basis,
+        disc_cfg=TINY_DISC,
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
     mel, wav = make_batch(rng)
@@ -116,7 +118,7 @@ def test_data_parallel_step_on_mesh(rng):
     """8-way DP on the virtual CPU mesh: replicated state, sharded batch."""
     assert len(jax.devices()) == 8
     mesh = make_mesh()
-    trainer = make_trainer(tiny_melgan_cfg(), hp=TINY_HP)
+    trainer = make_trainer(tiny_melgan_cfg(), hp=TINY_HP, disc_cfg=TINY_DISC)
     state = trainer.init_state(jax.random.PRNGKey(0))
     state = replicate_state(state, mesh)
 
@@ -146,7 +148,8 @@ def test_bf16_mixed_precision_step(rng):
     f32 losses (the reference's amp-O1 analog)."""
     import jax.numpy as jnp
 
-    trainer = make_trainer(tiny_melgan_cfg(), hp=TINY_HP, compute_dtype=jnp.bfloat16)
+    trainer = make_trainer(tiny_melgan_cfg(), hp=TINY_HP, compute_dtype=jnp.bfloat16,
+                           disc_cfg=TINY_DISC)
     state = trainer.init_state(jax.random.PRNGKey(0))
     # master params stay f32
     assert jax.tree_util.tree_leaves(state.gen_params)[0].dtype == jnp.float32
