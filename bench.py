@@ -1,13 +1,20 @@
-"""Headline benchmark: Basis-MelGAN synthesis RTF on one chip.
+"""Benchmarks: per-model synthesis RTF + batched serving throughput on one chip.
 
 Replicates the reference's RTF protocol (reference bin/test.py:123-132:
 10 repeated no-grad inference passes over a directory of mels,
-rtf = elapsed / (10 * total_audio_seconds)) against the reference's published
-Basis-MelGAN number (RTF 0.0498 on M1 CPU, reference README.md:27).
+rtf = elapsed / (10 * total_audio_seconds)) for every model the reference
+publishes a number for (reference README.md:23-28, M1 CPU):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline = baseline_rtf / our_rtf (speedup factor; > 1 means faster than
-the reference).
+    hifigan light 0.2424 | mb-hifigan large 0.4956 | mb-hifigan light 0.1591
+    basis-melgan 0.0498  (melgan has no published RTF)
+
+plus the batched-serving path (`models/batched.py`) against the >100x
+realtime north-star (BASELINE.md).
+
+Prints ONE JSON line: the headline Basis-MelGAN RTF in the driver schema
+{"metric", "value", "unit", "vs_baseline"} with every other measurement under
+an "extras" key (vs_baseline = baseline_rtf / our_rtf; > 1 is faster than the
+reference).  Per-model lines also go to stderr for human reading.
 """
 
 from __future__ import annotations
@@ -21,77 +28,163 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_RTF = 0.0498  # reference README.md:27 (Basis-MelGAN, M1 CPU)
 REPEATS = 10
 SAMPLE_RATE = 24000
 HOP = 240
+N_UTTS = 32
+REFERENCE_MEL = "/root/reference/resource/test.mel.npy"
+
+# (model_name, conf path, metric key, reference M1-CPU RTF or None)
+MODELS = [
+    ("basis-melgan", "conf/basis-melgan/light.yaml", "basis_melgan_rtf", 0.0498),
+    ("hifigan", "conf/hifigan/light.yaml", "hifigan_light_rtf", 0.2424),
+    (
+        "multiband-hifigan",
+        "conf/multiband-hifigan/light.yaml",
+        "mb_hifigan_light_rtf",
+        0.1591,
+    ),
+    (
+        "multiband-hifigan",
+        "conf/multiband-hifigan/large.yaml",
+        "mb_hifigan_large_rtf",
+        0.4956,
+    ),
+    ("melgan", "conf/melgan/original.yaml", "melgan_rtf", None),
+]
 
 
-def main():
+def load_mels() -> np.ndarray:
+    """(N_UTTS, 585, 80) eval set: the reference's fixed test mel when the
+    reference is mounted (resource/test.mel.npy, (80, 585)), else synthetic."""
+    if os.path.exists(REFERENCE_MEL):
+        mel = np.load(REFERENCE_MEL).astype(np.float32).T  # (585, 80)
+        return np.repeat(mel[None], N_UTTS, axis=0)
+    rng = np.random.default_rng(0)
+    return np.clip(
+        0.5 + 0.25 * rng.standard_normal((N_UTTS, 585, 80)), 0.0, 1.0
+    ).astype(np.float32)
+
+
+def build(model_name: str, conf: str):
+    """-> (inference_fn(params, mel (B,T,80)) -> full-band wav, params)."""
     import jax
-
-    import fastvocoder_tpu
-
-    fastvocoder_tpu.enable_compilation_cache()
 
     from fastvocoder_tpu.hparams import load_model_config
     from fastvocoder_tpu.models.factory import build_generator
 
-    root = os.path.dirname(os.path.abspath(__file__))
-    cfg = load_model_config(
-        "basis-melgan", os.path.join(root, "conf", "basis-melgan", "light.yaml")
-    )
+    cfg = load_model_config(model_name, conf)
     rng = np.random.default_rng(0)
-    basis = (0.02 * rng.standard_normal((cfg.arch.L, cfg.arch.out_channels))).astype(
-        np.float32
-    )
+    kw = {}
+    if model_name == "basis-melgan":
+        kw["basis_signal_weight"] = (
+            0.02 * rng.standard_normal((cfg.arch.L, cfg.arch.out_channels))
+        ).astype(np.float32)
     # fused (weight-norm removed) inference graph, like the reference's
-    # published checkpoints (bin/synthesize.py:72)
-    gen = build_generator(cfg, basis_signal_weight=basis, weight_norm=False)
+    # published checkpoints (reference bin/synthesize.py:72)
+    gen = build_generator(cfg, weight_norm=False, **kw)
 
-    # the reference protocol runs a directory of real mels; we use the
-    # reference's fixed test mel length (585 frames, resource/test.mel.npy)
-    # replicated to a realistic eval set of 32 utterances
-    T = 585
-    n_utts = 32
-    mels = (0.5 * rng.standard_normal((n_utts, T, 80))).astype(np.float32)
-    duration = n_utts * T * HOP / SAMPLE_RATE  # total audio seconds
+    if model_name == "basis-melgan":
+        fwd = lambda p, m: gen.apply({"params": p}, m, method=gen.inference)
+    elif model_name == "multiband-hifigan":
+        fwd = lambda p, m: gen.apply({"params": p}, m, method=gen.synthesize)
+    else:
+        fwd = lambda p, m: gen.apply({"params": p}, m)
 
-    params = gen.init(jax.random.PRNGKey(0), mels[:1, :8])["params"]
+    # jitted init: eager flax init dispatches hundreds of tiny ops, which is
+    # very slow over a remote-device link
+    params = jax.jit(gen.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 8, 80), np.float32)
+    )["params"]
+    return fwd, params
 
+
+def bench_rtf(fwd, params, mels: np.ndarray) -> float:
+    """Reference protocol: sequential per-utterance inference, REPEATS passes
+    (reference bin/test.py:126-129).  Each call reduces its waveform to a
+    scalar and the calls are chained, so the single final host fetch forces
+    every queued inference to really complete (on remote device links
+    `block_until_ready` can return before execution)."""
+    import jax
     import jax.numpy as jnp
 
-    # Each call returns a scalar checksum of its waveform; the final float()
-    # fetch forces every queued inference to really complete.  (On remote
-    # device links `block_until_ready` can return before execution, which
-    # would under-measure.)
-    @jax.jit
-    def synth(params, mel):
-        return jnp.sum(gen.apply({"params": params}, mel, method=gen.inference))
-
+    synth = jax.jit(lambda p, m: jnp.sum(fwd(p, m)))
     add = jax.jit(lambda a, b: a + b)
 
-    # sequential per-utterance synthesis (the reference iterates mels one by
-    # one, bin/test.py:126-129)
-    acc = synth(params, mels[:1])
+    # pre-place per-utterance mels on device — the reference times inference
+    # with the mels already loaded in RAM (bin/test.py:109-129), so H2D
+    # transfer is not part of its measured cost either
+    mel_list = [jax.device_put(mels[i : i + 1]) for i in range(mels.shape[0])]
+
+    acc = synth(params, mel_list[0])
     float(add(acc, acc))  # compile both programs + settle
 
+    duration = mels.shape[0] * mels.shape[1] * HOP / SAMPLE_RATE
     start = time.perf_counter()
     acc = jnp.float32(0)
     for _ in range(REPEATS):
-        for i in range(n_utts):
-            acc = add(acc, synth(params, mels[i : i + 1]))
-    float(acc)  # one host fetch; the dependency chain forces all work
-    cost = time.perf_counter() - start
-    rtf = cost / (REPEATS * duration)
+        for m in mel_list:
+            acc = add(acc, synth(params, m))
+    float(acc)
+    return (time.perf_counter() - start) / (REPEATS * duration)
 
+
+def bench_batched(fwd, params, mels: np.ndarray, repeats: int = 10) -> float:
+    """Serving throughput: one compiled program over the whole utterance
+    batch; returns x-realtime (audio seconds produced per wall second)."""
+    import jax
+    import jax.numpy as jnp
+
+    synth = jax.jit(lambda p, m: jnp.sum(fwd(p, m), axis=tuple(range(1, 2))))
+    add = jax.jit(lambda a, b: a + b)
+    acc = synth(params, mels)
+    float(jnp.sum(add(acc, acc)))  # compile + settle
+
+    duration = mels.shape[0] * mels.shape[1] * HOP / SAMPLE_RATE
+    start = time.perf_counter()
+    acc = jnp.zeros((mels.shape[0],), jnp.float32)
+    for _ in range(repeats):
+        acc = add(acc, synth(params, mels))
+    float(jnp.sum(acc))
+    return repeats * duration / (time.perf_counter() - start)
+
+
+def main():
+    import fastvocoder_tpu
+
+    fastvocoder_tpu.enable_compilation_cache()
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    mels = load_mels()
+
+    extras = {}
+    headline = None
+    for model_name, conf, key, baseline in MODELS:
+        fwd, params = build(model_name, os.path.join(root, conf))
+        rtf = bench_rtf(fwd, params, mels)
+        vs = round(baseline / rtf, 2) if baseline else None
+        extras[key] = {"rtf": round(rtf, 6), "vs_baseline": vs}
+        print(f"{key}: rtf={rtf:.6f} vs_baseline={vs}", file=sys.stderr)
+        if key == "basis_melgan_rtf":
+            headline = (rtf, baseline)
+            # batched serving throughput on the flagship (north star >100x)
+            xrt = bench_batched(fwd, params, mels)
+            extras["basis_melgan_batched_xrealtime"] = round(xrt, 1)
+            print(f"basis_melgan_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
+        if model_name == "hifigan":
+            xrt = bench_batched(fwd, params, mels)
+            extras["hifigan_light_batched_xrealtime"] = round(xrt, 1)
+            print(f"hifigan_light_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
+
+    rtf, baseline = headline
     print(
         json.dumps(
             {
                 "metric": "basis_melgan_rtf",
                 "value": round(rtf, 6),
                 "unit": "rtf",
-                "vs_baseline": round(BASELINE_RTF / rtf, 2),
+                "vs_baseline": round(baseline / rtf, 2),
+                "extras": extras,
             }
         )
     )

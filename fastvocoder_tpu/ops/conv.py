@@ -48,6 +48,59 @@ def conv1d(
     return out
 
 
+def upconv_polyphase(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    stride: int,
+    pad_l: int,
+    t_out: int,
+    precision=None,
+) -> jnp.ndarray:
+    """Transposed conv as ONE dense conv + depth-to-space (polyphase form).
+
+    Computes y[n] = sum_k x_zerostuffed_padded[n + k] * kernel[k] for
+    n in [0, t_out) — i.e. the lhs-dilated conv with left pad `pad_l` and
+    `kernel` already in correlation orientation (K, Cin, Cout) — without
+    materializing the zero-stuffed input.  The s-phase decomposition turns
+    the strided upsample into a stride-1 conv with s*Cout output channels
+    over the *low-rate* input: no multiplies against stuffed zeros (an s-fold
+    FLOP saving) and an MXU-friendly channel dimension.  Requires
+    t_out <= T * stride.
+    """
+    import numpy as np
+
+    K, Cin, Cout = kernel.shape
+    s = stride
+    B, T = x.shape[0], x.shape[1]
+    assert t_out <= T * s, (t_out, T, s)
+
+    # phase r of the output reads original taps k ≡ (pad_l - r) mod s; give
+    # every phase a common tap axis j' with a per-phase shift baked in
+    r = np.arange(s)
+    k_r = (pad_l - r) % s
+    o_r = (pad_l - r) // s  # floor; input offset of phase r's first tap
+    o_max = int(o_r.max())
+    J = int((o_max - o_r + np.ceil((K - k_r) / s)).max())
+    jj = np.arange(J)[:, None]
+    kk = (jj - (o_max - o_r)[None, :]) * s + k_r[None, :]  # (J, s)
+    valid = (kk >= 0) & (kk < K)
+    kk = np.clip(kk, 0, K - 1)
+
+    w2 = kernel[kk] * jnp.asarray(valid, kernel.dtype)[..., None, None]
+    w2 = jnp.transpose(w2, (0, 2, 1, 3)).reshape(J, Cin, s * Cout)
+
+    y = lax.conv_general_dilated(
+        x,
+        w2,
+        window_strides=(1,),
+        padding=[(o_max, J - 1 - o_max)],
+        dimension_numbers=_DN,
+        precision=precision,
+    )  # (B, T, s*Cout); channel index = phase * Cout + cout
+    y = y.reshape(B, T, s, Cout).reshape(B, T * s, Cout)
+    return y[:, :t_out]
+
+
 def conv_transpose1d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -61,19 +114,27 @@ def conv_transpose1d(
     x (B,T,Cin); kernel (K,Cin,Cout) stored in torch orientation (i.e. the
     torch weight (Cin,Cout,K) transposed to (K,Cin,Cout), *not* flipped).
     T_out = (T-1)*stride - 2*padding + K + output_padding.
+
+    Lowered to the polyphase dense-conv form (`upconv_polyphase`) when
+    possible — several times faster on TPU than XLA's lhs-dilated conv, which
+    multiplies against the stuffed zeros.
     """
     K = kernel.shape[0]
     kernel = jnp.flip(kernel, axis=0)
     pad_l = K - 1 - padding
     pad_r = K - 1 - padding + output_padding
-    out = lax.conv_general_dilated(
-        x,
-        kernel,
-        window_strides=(1,),
-        padding=[(pad_l, pad_r)],
-        lhs_dilation=(stride,),
-        dimension_numbers=_DN,
-    )
+    t_out = (x.shape[1] - 1) * stride - 2 * padding + K + output_padding
+    if stride > 1 and 0 < t_out <= x.shape[1] * stride:
+        out = upconv_polyphase(x, kernel, stride, pad_l, t_out)
+    else:
+        out = lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(pad_l, pad_r)],
+            lhs_dilation=(stride,),
+            dimension_numbers=_DN,
+        )
     if bias is not None:
         out = out + bias
     return out

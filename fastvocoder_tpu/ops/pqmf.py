@@ -79,18 +79,21 @@ class PQMF:
         """(B, T // subbands, subbands) -> (B, T, 1).
 
         Equivalent to the reference's zero-stuffing conv_transpose followed by
-        the synthesis filter conv (pqmf.py:121-135): here the zero-stuffing is
-        lhs_dilation and both steps are one conv.
+        the synthesis filter conv (pqmf.py:121-135), lowered to the polyphase
+        dense-conv form (ops/conv.py:upconv_polyphase): one stride-1 conv over
+        the sub-band rate + depth-to-space — no multiplies against stuffed
+        zeros (~4x fewer FLOPs than the lhs-dilated form, measured ~18ms ->
+        <2ms per 585-frame utterance on TPU).
         """
+        from fastvocoder_tpu.ops.conv import upconv_polyphase
+
         s = self.subbands
         p = self.taps // 2
-        # lhs-dilated length = (T'-1)*s + 1; target T = T'*s, so pad right +s-1.
-        return lax.conv_general_dilated(
+        return upconv_polyphase(
             x,
             self.synthesis_kernel.astype(x.dtype),
-            window_strides=(1,),
-            padding=[(p, p + s - 1)],
-            lhs_dilation=(s,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
+            stride=s,
+            pad_l=p,
+            t_out=x.shape[1] * s,
             precision=lax.Precision.HIGHEST,
         )
