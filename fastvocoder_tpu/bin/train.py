@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import logging
 import os
-import time
 from datetime import datetime
 from typing import Optional
 
@@ -84,7 +83,6 @@ def run(args):
         make_mesh,
         pad_batch_to_devices,
         replicate_state,
-        shard_batch,
     )
     from fastvocoder_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 
@@ -147,7 +145,9 @@ def run(args):
             ckpt_path = ""
     if ckpt_path:
         try:
-            ckpt = load_checkpoint(ckpt_path, cfg)
+            ckpt = load_checkpoint(
+                ckpt_path, cfg, disc_cfg=trainer.discriminator.cfg
+            )
             state = state.replace(gen_params=ckpt["gen_params"])
             if "disc_params" in ckpt:
                 logger.info("loading discriminator")
@@ -176,7 +176,7 @@ def run(args):
     else:
         pre_adv = compile_train_step_no_weight(trainer.pre_adv_step, mesh)
         gan = compile_train_step_no_weight(trainer.gan_step, mesh)
-    valid_fn = jax.jit(trainer.valid_step)
+    valid_full_fn = jax.jit(trainer.valid_step_full)
 
     # run dirs (timestamped, reference bin/train.py:356-380)
     stamp = str(datetime.now()).replace(" ", "-").replace(":", "-").replace(".", "-")
@@ -215,18 +215,77 @@ def run(args):
     logger.info(f"{steps_per_epoch} steps per epoch")
 
     current_step = args.restore_step
-    time_window = []
-    start_wall = time.perf_counter()
     max_steps = getattr(args, "max_steps", 0)
-
     L = cfg.arch.L if args.model_name == "basis-melgan" else None
-    for epoch in range(hp.epochs):
-        for batch in batch_iterator(dataset, hp, seed=args.seed, epoch=epoch, L=L):
-            current_step += 1
-            t0 = time.perf_counter()
 
-            batch, _ = pad_batch_to_devices(batch, n_dev)
-            batch = shard_batch(batch, mesh)
+    from fastvocoder_tpu.runtime import StepTimer, prefetch_to_device
+
+    # metrics stay on device between log points — no per-step host sync, the
+    # steps dispatch asynchronously and the drain below forces completion of
+    # the whole window at once
+    pending = []  # [(step, device-metrics dict)]
+    timer = StepTimer(clear_time=hp.clear_time)
+    window_steps = 0
+    timer.start()
+
+    def drain_metrics():
+        """Fetch all queued metrics, append the per-step loss files
+        (reference bin/train.py:190-195), return the drained list."""
+        if not pending:
+            return []
+        drained = [
+            (s, {k: float(v) for k, v in jax.device_get(m).items()})
+            for s, m in pending
+        ]
+        pending.clear()
+        with open(
+            os.path.join(current_logger_path, "total_loss.txt"), "a"
+        ) as ft, open(
+            os.path.join(current_logger_path, "stft_loss.txt"), "a"
+        ) as fs:
+            for _, m in drained:
+                ft.write(f"{m['total_loss']}\n")
+                fs.write(f"{m['stft_loss']}\n")
+        return drained
+
+    def run_validation():
+        """Full-length utterances, batch 1, in index order (reference
+        bin/train.py:451-471) — padded to 64-frame length buckets for static
+        shapes, with the padded tail masked out of the MR-STFT loss."""
+        logger.info("Start valid...")
+        bucket = 64
+        n_items = min(hp.valid_num + 1, len(valid_dataset))
+        total = 0.0
+        for idx in range(n_items):
+            item = valid_dataset[idx]
+            t_mel = item["mel"].shape[0]
+            t_b = ((t_mel + bucket - 1) // bucket) * bucket
+            mel = np.pad(item["mel"], ((0, t_b - t_mel), (0, 0)))[None]
+            wav = item["wav"][: t_mel * hp.hop_size]
+            n_true = wav.shape[0]
+            wav = np.pad(wav, (0, t_b * hp.hop_size - n_true))[None]
+            total += float(
+                valid_full_fn(state, mel, wav, np.int32(n_true))
+            )
+        # divide by valid_num over valid_num+1 items — reference quirk
+        # preserved (bin/train.py:458-471, SURVEY.md §7)
+        writer.add_scalar(
+            "valid_stft_loss", total / float(hp.valid_num),
+            global_step=current_step,
+        )
+
+    for epoch in range(hp.epochs):
+
+        def host_batches(epoch=epoch):
+            for b in batch_iterator(dataset, hp, seed=args.seed, epoch=epoch, L=L):
+                b, _ = pad_batch_to_devices(b, n_dev)
+                yield b
+
+        # background-thread device prefetch: the H2D transfer of batch k+1
+        # overlaps the computation of batch k (the reference overlaps via
+        # DataLoader workers + pin_memory, bin/train.py:398-405)
+        for batch in prefetch_to_device(host_batches(), mesh=mesh):
+            current_step += 1
             step_fn = gan if current_step > hp.discriminator_train_start_steps else pre_adv
             if args.model_name == "basis-melgan":
                 state, metrics = step_fn(
@@ -234,34 +293,30 @@ def run(args):
                 )
             else:
                 state, metrics = step_fn(state, batch["mel"], batch["wav"])
-
-            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            t_step = time.perf_counter() - t0
-            time_window.append(t_step)
-            if len(time_window) > hp.clear_time:
-                time_window = time_window[-hp.clear_time:]
-
-            # per-step loss files (reference bin/train.py:190-195)
-            with open(os.path.join(current_logger_path, "total_loss.txt"), "a") as f:
-                f.write(f"{metrics['total_loss']}\n")
-            with open(os.path.join(current_logger_path, "stft_loss.txt"), "a") as f:
-                f.write(f"{metrics['stft_loss']}\n")
+            pending.append((current_step, metrics))
+            window_steps += 1
 
             if current_step % hp.log_step == 0:
-                mean_t = float(np.mean(time_window))
+                drained = drain_metrics()  # forces the window to complete
+                dt = timer.stop()
+                mean_t = dt / max(window_steps, 1)
+                timer.start()
+                window_steps = 0
+                m = drained[-1][1]
                 eta = (total_step - current_step) * mean_t
                 msg = (
                     f"epoch [{epoch + 1}] step [{current_step}/{total_step}] "
-                    + " ".join(f"{k}={v:.6f}" for k, v in sorted(metrics.items()))
-                    + f" step_time={t_step:.3f}s eta={eta / 3600:.1f}h"
+                    + " ".join(f"{k}={v:.6f}" for k, v in sorted(m.items()))
+                    + f" step_time={mean_t:.3f}s eta={eta / 3600:.1f}h"
                 )
                 logger.info(msg)
                 with open(os.path.join(current_logger_path, "logger.txt"), "a") as f:
                     f.write(msg + "\n")
-                for k, v in metrics.items():
+                for k, v in m.items():
                     writer.add_scalar(k, v, global_step=current_step)
 
             if current_step % hp.save_step == 0:
+                drain_metrics()
                 ckpt_file = os.path.join(
                     current_checkpoint_path, f"checkpoint_{current_step}.pth.tar"
                 )
@@ -269,37 +324,21 @@ def run(args):
                     ckpt_file, cfg,
                     state.gen_params, state.disc_params,
                     state.gen_opt_state, state.disc_opt_state,
-                    step=current_step,
+                    step=current_step, disc_cfg=trainer.discriminator.cfg,
                 )
                 logger.info(f"saved checkpoint {ckpt_file}")
 
             if current_step % hp.valid_step == 0:
-                logger.info("Start valid...")
-                valid_rng = np.random.default_rng(current_step)
-                valid_loss_all = 0.0
-                n_items = min(hp.valid_num + 1, len(valid_dataset))
-                order = valid_rng.permutation(len(valid_dataset))[:n_items]
-                for idx in order:
-                    item = valid_dataset.crop(int(idx), valid_rng)
-                    from fastvocoder_tpu.data.dataset import collate
-
-                    vb = collate([item], hp, L=L)
-                    valid_loss_all += float(
-                        valid_fn(state, vb["mel"], vb["wav"])
-                    )
-                # divide by valid_num over valid_num+1 items — reference
-                # quirk preserved (bin/train.py:458-471, SURVEY.md §7)
-                writer.add_scalar(
-                    "valid_stft_loss",
-                    valid_loss_all / float(hp.valid_num),
-                    global_step=current_step,
-                )
+                drain_metrics()
+                run_validation()
 
             if max_steps and current_step >= max_steps:
                 logger.info(f"reached max_steps={max_steps}; stopping")
+                drain_metrics()
                 writer.close()
                 return state
 
+    drain_metrics()
     writer.close()
     return state
 

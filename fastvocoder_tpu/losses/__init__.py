@@ -21,6 +21,7 @@ from fastvocoder_tpu.losses.gan import (
 from fastvocoder_tpu.losses.stft_loss import (
     DEFAULT_RESOLUTIONS,
     multi_resolution_stft_loss,
+    multi_resolution_stft_loss_masked,
     stft_loss,
 )
 from fastvocoder_tpu.ops.pqmf import PQMF
@@ -31,7 +32,9 @@ __all__ = [
     "discriminator_loss",
     "feature_map_loss",
     "multi_resolution_stft_loss",
+    "multi_resolution_stft_loss_masked",
     "reconstruction_loss",
+    "reconstruction_loss_masked",
     "stft_loss",
 ]
 
@@ -71,3 +74,29 @@ def reconstruction_loss(
     if est_weight is not None and weight is not None:
         weight_loss = jnp.mean(jnp.abs(est_weight - weight))
     return total, weight_loss
+
+
+def reconstruction_loss_masked(
+    est_source: jnp.ndarray,
+    wav: jnp.ndarray,
+    valid_samples: jnp.ndarray,
+    pqmf: Optional[PQMF] = None,
+) -> jnp.ndarray:
+    """Length-masked variant of `reconstruction_loss` for full-utterance
+    validation on padded/bucketed inputs (reference bin/train.py:451-471
+    validates full utterances; the mask scores only the true length)."""
+    wav = jax.lax.stop_gradient(wav)
+    if pqmf is not None:
+        wav_sub = pqmf.analysis(wav[..., None])
+        est_full = pqmf.synthesis(est_source)[..., 0]
+        est_sub = jnp.transpose(est_source, (0, 2, 1)).reshape(
+            -1, est_source.shape[1]
+        )
+        wav_sub = jnp.transpose(wav_sub, (0, 2, 1)).reshape(-1, wav_sub.shape[1])
+        sub_valid = valid_samples // pqmf.subbands
+        sc_s, mag_s = multi_resolution_stft_loss_masked(est_sub, wav_sub, sub_valid)
+        sc_f, mag_f = multi_resolution_stft_loss_masked(est_full, wav, valid_samples)
+        return ((sc_s + mag_s) + (sc_f + mag_f)) / 2.0
+
+    sc, mag = multi_resolution_stft_loss_masked(est_source, wav, valid_samples)
+    return sc + mag

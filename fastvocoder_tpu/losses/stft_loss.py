@@ -64,3 +64,51 @@ def multi_resolution_stft_loss(
         mag_total = mag_total + mag
     n = float(len(resolutions))
     return sc_total / n, mag_total / n
+
+
+def _stft_loss_masked(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    valid_samples: jnp.ndarray,
+    fft_size: int,
+    hop_size: int,
+    win_length: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sc, mag) over only the STFT frames whose center lies inside
+    `valid_samples` — lets a zero-padded utterance be scored at its true
+    length under a single static shape (TPU validation path).  Frames are
+    center-padded (torch.stft center=True parity), so frame f's center is
+    f*hop; `<=` keeps the boundary frame, making the mask an exact no-op
+    when valid_samples == T."""
+    x_mag = stft_mag(x, fft_size, hop_size, win_length)  # (B, F, bins)
+    y_mag = stft_mag(y, fft_size, hop_size, win_length)
+    valid_samples = jnp.asarray(valid_samples).reshape(-1, 1, 1)  # scalar or (B,)
+    frame_center = jnp.arange(x_mag.shape[1]) * hop_size
+    m = (frame_center[None, :, None] <= valid_samples).astype(x_mag.dtype)
+    sc = jnp.linalg.norm(((y_mag - x_mag) * m).reshape(-1)) / jnp.maximum(
+        jnp.linalg.norm((y_mag * m).reshape(-1)), 1e-12
+    )
+    mag = jnp.sum(jnp.abs(jnp.log(y_mag) - jnp.log(x_mag)) * m) / jnp.maximum(
+        jnp.sum(m) * x_mag.shape[-1], 1.0
+    )
+    return sc, mag
+
+
+def multi_resolution_stft_loss_masked(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    valid_samples: jnp.ndarray,
+    resolutions: Sequence[Tuple[int, int, int]] = DEFAULT_RESOLUTIONS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Length-masked MR-STFT: full-utterance validation on padded/bucketed
+    inputs (the reference validates unpadded full utterances at batch 1,
+    reference bin/train.py:451-471; static TPU shapes require padding, the
+    mask removes the padded tail from the loss)."""
+    sc_total = 0.0
+    mag_total = 0.0
+    for fft_size, hop, win in resolutions:
+        sc, mag = _stft_loss_masked(x, y, valid_samples, fft_size, hop, win)
+        sc_total = sc_total + sc
+        mag_total = mag_total + mag
+    n = float(len(resolutions))
+    return sc_total / n, mag_total / n

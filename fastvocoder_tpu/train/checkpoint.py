@@ -186,13 +186,15 @@ def generator_key_map(cfg: ModelConfig) -> List[MapEntry]:
     raise ValueError(cfg.model_name)
 
 
-def _msd_scale_entries(torch_prefix: str, flax_prefix: FlaxPath) -> List[MapEntry]:
+def _msd_scale_entries(
+    torch_prefix: str, flax_prefix: FlaxPath, n_down: int = 4
+) -> List[MapEntry]:
     # reference msd.py:54-100: layers.0 = Seq(pad, conv, act); layers.1-4 =
     # Seq(conv, act) downsamples; layers.5 = Seq(conv, act); layers.6 = conv
     entries = [
         MapEntry(f"{torch_prefix}.layers.0.1", flax_prefix + ("conv_first",), "conv")
     ]
-    for i in range(4):
+    for i in range(n_down):
         entries.append(
             MapEntry(
                 f"{torch_prefix}.layers.{1 + i}.0",
@@ -200,21 +202,28 @@ def _msd_scale_entries(torch_prefix: str, flax_prefix: FlaxPath) -> List[MapEntr
             )
         )
     entries.append(
-        MapEntry(f"{torch_prefix}.layers.5.0", flax_prefix + ("conv_head",), "conv")
+        MapEntry(
+            f"{torch_prefix}.layers.{1 + n_down}.0",
+            flax_prefix + ("conv_head",), "conv",
+        )
     )
     entries.append(
-        MapEntry(f"{torch_prefix}.layers.6", flax_prefix + ("conv_out",), "conv")
+        MapEntry(
+            f"{torch_prefix}.layers.{2 + n_down}", flax_prefix + ("conv_out",), "conv"
+        )
     )
     return entries
 
 
-def _mfd_scale_entries(torch_prefix: str, flax_prefix: FlaxPath) -> List[MapEntry]:
+def _mfd_scale_entries(
+    torch_prefix: str, flax_prefix: FlaxPath, n_down: int = 2
+) -> List[MapEntry]:
     # reference mfd.py:77-123: layers.0 = Seq(pad, conv, act); layers.1-2 =
     # downsamples; layers.3 = Seq(conv, act); layers.4 = conv
     entries = [
         MapEntry(f"{torch_prefix}.layers.0.1", flax_prefix + ("conv_first",), "conv")
     ]
-    for i in range(2):
+    for i in range(n_down):
         entries.append(
             MapEntry(
                 f"{torch_prefix}.layers.{1 + i}.0",
@@ -222,23 +231,35 @@ def _mfd_scale_entries(torch_prefix: str, flax_prefix: FlaxPath) -> List[MapEntr
             )
         )
     entries.append(
-        MapEntry(f"{torch_prefix}.layers.3.0", flax_prefix + ("conv_head",), "conv")
+        MapEntry(
+            f"{torch_prefix}.layers.{1 + n_down}.0",
+            flax_prefix + ("conv_head",), "conv",
+        )
     )
     entries.append(
-        MapEntry(f"{torch_prefix}.layers.4", flax_prefix + ("conv_out",), "conv")
+        MapEntry(
+            f"{torch_prefix}.layers.{2 + n_down}", flax_prefix + ("conv_out",), "conv"
+        )
     )
     return entries
 
 
-def discriminator_key_map(use_mpd: bool = False) -> List[MapEntry]:
+def discriminator_key_map(
+    use_mpd: bool = False, disc_cfg: Optional["DiscriminatorConfig"] = None
+) -> List[MapEntry]:
+    from fastvocoder_tpu.hparams import DISC
+
+    cfg = disc_cfg if disc_cfg is not None else DISC
     entries: List[MapEntry] = []
-    for s in range(3):
+    for s in range(cfg.msd_scales):
         entries += _msd_scale_entries(
-            f"msd.discriminators.{s}", ("msd", f"disc_{s}")
+            f"msd.discriminators.{s}", ("msd", f"disc_{s}"),
+            n_down=len(cfg.msd_downsample_scales),
         )
-    for i in range(3):
+    for i in range(len(cfg.mfd_fft_sizes)):
         entries += _mfd_scale_entries(
-            f"mfd.stft_discriminator.{i}", ("mfd", f"disc_{i}")
+            f"mfd.stft_discriminator.{i}", ("mfd", f"disc_{i}"),
+            n_down=len(cfg.mfd_downsample_scales),
         )
     if use_mpd:
         for i in range(5):
@@ -413,6 +434,7 @@ def save_checkpoint(
     disc_opt_state=None,
     step: int = 0,
     extra: Optional[dict] = None,
+    disc_cfg=None,
 ):
     import jax
 
@@ -428,7 +450,9 @@ def save_checkpoint(
     if disc_params is not None:
         d = {
             k: torch.from_numpy(np.asarray(v))
-            for k, v in flax_to_torch(host(disc_params), discriminator_key_map()).items()
+            for k, v in flax_to_torch(
+                host(disc_params), discriminator_key_map(disc_cfg=disc_cfg)
+            ).items()
         }
         for k, v in discriminator_buffers().items():
             d[k] = torch.from_numpy(np.asarray(v))
@@ -442,7 +466,9 @@ def save_checkpoint(
     torch.save(out, path)
 
 
-def load_checkpoint(path: str, cfg, with_discriminator: bool = True) -> dict:
+def load_checkpoint(
+    path: str, cfg, with_discriminator: bool = True, disc_cfg=None
+) -> dict:
     """Load a framework or reference torch checkpoint into flax param trees.
 
     Returns {'gen_params', 'disc_params'?, 'optimizer'?,
@@ -456,7 +482,7 @@ def load_checkpoint(path: str, cfg, with_discriminator: bool = True) -> dict:
     }
     if with_discriminator and "discriminator" in ckpt:
         out["disc_params"] = torch_to_flax(
-            ckpt["discriminator"], discriminator_key_map()
+            ckpt["discriminator"], discriminator_key_map(disc_cfg=disc_cfg)
         )
     for k in ("optimizer", "discriminator_optimizer", "pattern"):
         if k in ckpt:

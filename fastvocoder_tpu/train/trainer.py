@@ -307,10 +307,22 @@ class Trainer:
         )
 
     def valid_step(self, state: TrainState, mel, wav) -> jnp.ndarray:
-        """Validation MR-STFT loss (reference bin/train.py:451-471)."""
+        """Validation MR-STFT loss on a fixed-size crop batch."""
         est, _ = self._gen_forward(state.gen_params, mel)
         stft_l, _ = reconstruction_loss(est, wav, pqmf=self.pqmf)
         return stft_l
+
+    def valid_step_full(
+        self, state: TrainState, mel, wav, valid_samples
+    ) -> jnp.ndarray:
+        """Full-utterance validation loss (reference bin/train.py:451-471:
+        batch-1, full-length items).  Inputs are padded to a length bucket
+        for static shapes; `valid_samples` (scalar) masks the padded tail out
+        of the MR-STFT loss."""
+        from fastvocoder_tpu.losses import reconstruction_loss_masked
+
+        est, _ = self._gen_forward(state.gen_params, mel)
+        return reconstruction_loss_masked(est, wav, valid_samples, pqmf=self.pqmf)
 
 
 def make_trainer(
