@@ -80,11 +80,19 @@ def run(args):
     from fastvocoder_tpu.parallel import (
         compile_train_step,
         compile_train_step_no_weight,
+        is_main_process,
         make_mesh,
+        maybe_initialize_distributed,
         pad_batch_to_devices,
         replicate_state,
     )
     from fastvocoder_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    # multi-host: forms the global runtime when the env requests it
+    # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID);
+    # single-host runs are unchanged
+    proc_id, proc_count = maybe_initialize_distributed()
+    is_main = is_main_process()
 
     cfg = load_model_config(args.model_name, args.config)
     hp = HP.replace(
@@ -128,7 +136,15 @@ def run(args):
 
     mesh = make_mesh()
     n_dev = len(mesh.devices.reshape(-1))
-    logger.info(f"data-parallel mesh over {n_dev} device(s)")
+    n_local = jax.local_device_count()
+    logger.info(
+        f"data-parallel mesh over {n_dev} device(s)"
+        + (f" across {proc_count} hosts (process {proc_id})" if proc_count > 1 else "")
+    )
+    assert hp.batch_size % proc_count == 0, (
+        f"batch_size {hp.batch_size} must divide over {proc_count} hosts"
+    )
+    per_host_bs = hp.batch_size // proc_count
 
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
     restored = False
@@ -178,13 +194,17 @@ def run(args):
         gan = compile_train_step_no_weight(trainer.gan_step, mesh)
     valid_full_fn = jax.jit(trainer.valid_step_full)
 
-    # run dirs (timestamped, reference bin/train.py:356-380)
+    # run dirs (timestamped, reference bin/train.py:356-380); writes are
+    # process-0-only in multi-host runs
     stamp = str(datetime.now()).replace(" ", "-").replace(":", "-").replace(".", "-")
     current_checkpoint_path = os.path.join(hp.checkpoint_path, stamp)
     current_logger_path = os.path.join(hp.logger_path, stamp)
-    os.makedirs(current_checkpoint_path, exist_ok=True)
-    os.makedirs(current_logger_path, exist_ok=True)
-    writer = _make_writer(os.path.join(hp.tensorboard_path, stamp))
+    if is_main:
+        os.makedirs(current_checkpoint_path, exist_ok=True)
+        os.makedirs(current_logger_path, exist_ok=True)
+        writer = _make_writer(os.path.join(hp.tensorboard_path, stamp))
+    else:
+        writer = _NoopWriter()
 
     # datasets
     if args.model_name == "basis-melgan":
@@ -210,7 +230,9 @@ def run(args):
         dataset = BufferDataset(buffer, hp)
         valid_dataset = BufferDataset(valid_buffer, hp)
 
-    steps_per_epoch = num_batches_per_epoch(len(dataset), hp)
+    steps_per_epoch = num_batches_per_epoch(
+        len(dataset), hp, shard_count=proc_count, batch_size=per_host_bs
+    )
     total_step = hp.epochs * steps_per_epoch
     logger.info(f"{steps_per_epoch} steps per epoch")
 
@@ -238,6 +260,8 @@ def run(args):
             for s, m in pending
         ]
         pending.clear()
+        if not is_main:  # files are process-0's (shared-FS safe)
+            return drained
         with open(
             os.path.join(current_logger_path, "total_loss.txt"), "a"
         ) as ft, open(
@@ -256,6 +280,9 @@ def run(args):
         bucket = 64
         n_items = min(hp.valid_num + 1, len(valid_dataset))
         total = 0.0
+        # params to host once: validation then runs per-process on local
+        # devices with no cross-host collectives (safe to skip on non-main)
+        gen_params = jax.device_get(state.gen_params)
         for idx in range(n_items):
             item = valid_dataset[idx]
             t_mel = item["mel"].shape[0]
@@ -265,7 +292,7 @@ def run(args):
             n_true = wav.shape[0]
             wav = np.pad(wav, (0, t_b * hp.hop_size - n_true))[None]
             total += float(
-                valid_full_fn(state, mel, wav, np.int32(n_true))
+                valid_full_fn(gen_params, mel, wav, np.int32(n_true))
             )
         # divide by valid_num over valid_num+1 items — reference quirk
         # preserved (bin/train.py:458-471, SURVEY.md §7)
@@ -277,8 +304,14 @@ def run(args):
     for epoch in range(hp.epochs):
 
         def host_batches(epoch=epoch):
-            for b in batch_iterator(dataset, hp, seed=args.seed, epoch=epoch, L=L):
-                b, _ = pad_batch_to_devices(b, n_dev)
+            # per-host shard of the common shuffled epoch: disjoint slice,
+            # per-host sub-batches assemble into the global batch
+            for b in batch_iterator(
+                dataset, hp, seed=args.seed, epoch=epoch, L=L,
+                shard_index=proc_id, shard_count=proc_count,
+                batch_size=per_host_bs,
+            ):
+                b, _ = pad_batch_to_devices(b, n_local)
                 yield b
 
         # background-thread device prefetch: the H2D transfer of batch k+1
@@ -317,20 +350,23 @@ def run(args):
 
             if current_step % hp.save_step == 0:
                 drain_metrics()
-                ckpt_file = os.path.join(
-                    current_checkpoint_path, f"checkpoint_{current_step}.pth.tar"
-                )
-                save_checkpoint(
-                    ckpt_file, cfg,
-                    state.gen_params, state.disc_params,
-                    state.gen_opt_state, state.disc_opt_state,
-                    step=current_step, disc_cfg=trainer.discriminator.cfg,
-                )
-                logger.info(f"saved checkpoint {ckpt_file}")
+                if is_main:
+                    ckpt_file = os.path.join(
+                        current_checkpoint_path,
+                        f"checkpoint_{current_step}.pth.tar",
+                    )
+                    save_checkpoint(
+                        ckpt_file, cfg,
+                        state.gen_params, state.disc_params,
+                        state.gen_opt_state, state.disc_opt_state,
+                        step=current_step, disc_cfg=trainer.discriminator.cfg,
+                    )
+                    logger.info(f"saved checkpoint {ckpt_file}")
 
             if current_step % hp.valid_step == 0:
                 drain_metrics()
-                run_validation()
+                if is_main:
+                    run_validation()
 
             if max_steps and current_step >= max_steps:
                 logger.info(f"reached max_steps={max_steps}; stopping")

@@ -1,3 +1,8 @@
+from fastvocoder_tpu.parallel.distributed import (
+    is_main_process,
+    maybe_initialize_distributed,
+    multihost_env_requested,
+)
 from fastvocoder_tpu.parallel.mesh import (
     DATA_AXIS,
     batch_sharding,
@@ -15,7 +20,10 @@ __all__ = [
     "batch_sharding",
     "compile_train_step",
     "compile_train_step_no_weight",
+    "is_main_process",
     "make_mesh",
+    "maybe_initialize_distributed",
+    "multihost_env_requested",
     "pad_batch_to_devices",
     "replicate_state",
     "replicated",

@@ -38,14 +38,34 @@ def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch dict onto the mesh, split along dim 0."""
+    """Place a host batch dict onto the mesh, split along dim 0.
+
+    Single-process: a plain sharded device_put.  Multi-process: each host
+    passes its LOCAL slice of the global batch (from `batch_iterator`'s
+    shard_index/shard_count) and the slices assemble into one global array
+    (`jax.make_array_from_process_local_data`)."""
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+        for k, v in batch.items()
+    }
 
 
 def replicate_state(state: Any, mesh: Mesh) -> Any:
+    """Replicate a (host or single-device) pytree onto every mesh device.
+    In multi-process runs every host must hold the same values (e.g. from
+    the same init seed or the same checkpoint)."""
     rep = replicated(mesh)
-    return jax.device_put(state, rep)
+    if jax.process_count() == 1:
+        return jax.device_put(state, rep)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            rep, np.asarray(jax.device_get(x))
+        ),
+        state,
+    )
 
 
 def compile_train_step(

@@ -312,16 +312,16 @@ class Trainer:
         stft_l, _ = reconstruction_loss(est, wav, pqmf=self.pqmf)
         return stft_l
 
-    def valid_step_full(
-        self, state: TrainState, mel, wav, valid_samples
-    ) -> jnp.ndarray:
+    def valid_step_full(self, gen_params, mel, wav, valid_samples) -> jnp.ndarray:
         """Full-utterance validation loss (reference bin/train.py:451-471:
         batch-1, full-length items).  Inputs are padded to a length bucket
         for static shapes; `valid_samples` (scalar) masks the padded tail out
-        of the MR-STFT loss."""
+        of the MR-STFT loss.  Takes host params (not the mesh-replicated
+        TrainState) so multi-host runs can validate on process 0's local
+        devices without cross-host collectives."""
         from fastvocoder_tpu.losses import reconstruction_loss_masked
 
-        est, _ = self._gen_forward(state.gen_params, mel)
+        est, _ = self._gen_forward(gen_params, mel)
         return reconstruction_loss_masked(est, wav, valid_samples, pqmf=self.pqmf)
 
 
