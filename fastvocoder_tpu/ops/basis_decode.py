@@ -13,7 +13,19 @@ weight matrix — no frames tensor in HBM, no scatter, pure MXU work.  Both an
 XLA implementation and a Pallas TPU kernel of the same algorithm live here;
 they are numerically identical (tests/test_basis_decode.py) and the model
 picks via `fastvocoder_tpu.ops.basis_decode.set_default_impl` or the
-FASTVOCODER_BASIS_DECODE env var.
+FASTVOCODER_BASIS_DECODE env var ("auto" | "xla" | "pallas").
+
+Measured on 1x TPU v5e at the flagship shapes (C=256, hop=15, F=9360 — a
+585-frame utterance), 50-iteration mean:
+
+    B=1  (single utterance):  XLA 9.75 ms   Pallas 1.19 ms   (8.2x)
+    B=32 (batched serving):   XLA 1.81 ms   Pallas 7.68 ms   (XLA 4.2x,
+                               349 GB/s effective HBM bandwidth)
+
+Pallas wins small-batch latency (XLA lowers the skinny (rows,256)x(256,15)
+einsum poorly at tiny batch); XLA wins large batches (its fused batched
+matmul saturates HBM while the kernel's (rows,15) output tile wastes most of
+the 128-lane dimension).  The default "auto" picks per shape at trace time.
 """
 
 from __future__ import annotations
@@ -25,14 +37,18 @@ from typing import Literal
 import jax
 import jax.numpy as jnp
 
-Impl = Literal["xla", "pallas"]
+Impl = Literal["auto", "xla", "pallas"]
 
-_DEFAULT_IMPL: Impl = os.environ.get("FASTVOCODER_BASIS_DECODE", "xla")  # type: ignore
+_DEFAULT_IMPL: Impl = os.environ.get("FASTVOCODER_BASIS_DECODE", "auto")  # type: ignore
+
+# "auto" crossover: below this many weight rows (B * frames) the Pallas
+# kernel wins (measured above); beyond it XLA's batched einsum does
+_AUTO_PALLAS_MAX_ROWS = 65536
 
 
 def set_default_impl(impl: Impl) -> None:
     global _DEFAULT_IMPL
-    assert impl in ("xla", "pallas"), impl
+    assert impl in ("auto", "xla", "pallas"), impl
     _DEFAULT_IMPL = impl
 
 
@@ -128,6 +144,10 @@ def basis_decode(
 ) -> jnp.ndarray:
     """Fused decode; output length (F-1)*hop + L == (F+1)*hop exactly."""
     impl = impl or _DEFAULT_IMPL
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        rows = weight.shape[0] * weight.shape[1]
+        impl = "pallas" if (on_tpu and rows <= _AUTO_PALLAS_MAX_ROWS) else "xla"
     if impl == "pallas":
         return basis_decode_pallas(weight, basis)
     return basis_decode_xla(weight, basis)
