@@ -63,12 +63,26 @@ class StreamingSynthesizer:
             lo = max(0, start - h)
             hi = min(T, end + h)
             piece = mel[lo:hi]
-            # pad to the fixed compiled shape (c + 2h frames)
+            # pad to the fixed compiled shape (c + 2h frames); numpy reflect
+            # allows at most len-1 per application, so iterate for short
+            # final pieces (large chunk/halo vs a short utterance)
             want = c + 2 * h
             pad = want - piece.shape[0]
-            if pad:
-                piece = np.pad(piece, ((0, pad), (0, 0)), mode="reflect")
+            while pad > 0:
+                if piece.shape[0] == 1:
+                    piece = np.repeat(piece, want, axis=0)[:want]
+                    break
+                step = min(pad, piece.shape[0] - 1)
+                piece = np.pad(piece, ((0, step), (0, 0)), mode="reflect")
+                pad = want - piece.shape[0]
             wav = np.asarray(self.forward(self.params, piece[None]))[0]
+            if wav.shape[0] != want * self.spf:
+                raise ValueError(
+                    f"forward is not frame-length-preserving: {want} frames "
+                    f"-> {wav.shape[0]} samples (expected {want * self.spf}). "
+                    "basis-melgan's raw decode emits (F+1)*hop samples; wrap "
+                    "it with a [:T*spf] trim before streaming."
+                )
             # trim halo + tail padding back out
             a = (start - lo) * self.spf
             b = a + (end - start) * self.spf

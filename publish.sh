@@ -7,7 +7,7 @@ save_path=$4
 export MODE=publish
 
 python3 fastvocoder_tpu/bin/launcher.py \
-    --checkpoint $checkpoint \
+    --checkpoint_path $checkpoint \
     --model_name $model_name \
     --config $config \
     --save_path $save_path

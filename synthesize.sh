@@ -8,7 +8,7 @@ config=$5
 export MODE=synthesize
 
 python3 fastvocoder_tpu/bin/launcher.py \
-    --checkpoint $checkpoint \
+    --checkpoint_path $checkpoint \
     --mel_path $mel_path \
     --wav_path $wav_path \
     --model_name $model_name \

@@ -7,7 +7,7 @@ config=$4
 export MODE=test
 
 python3 fastvocoder_tpu/bin/launcher.py \
-    --checkpoint $checkpoint \
+    --checkpoint_path $checkpoint \
     --model_name $model_name \
     --config $config \
     --file_path $filelist
