@@ -65,6 +65,10 @@ def test_two_process_dp_matches_single_process(tmp_path):
     port = _free_port()
     out = str(tmp_path / "proc0.npz")
 
+    # run the single-process reference FIRST: it populates the persistent
+    # compilation cache with the init program the children reuse
+    want_loss, want_leaves = _single_process_reference()
+
     procs = []
     for pid in range(2):
         env = dict(os.environ)
@@ -97,8 +101,6 @@ def test_two_process_dp_matches_single_process(tmp_path):
         assert p.returncode == 0, o
 
     got = np.load(out)
-    want_loss, want_leaves = _single_process_reference()
-
     np.testing.assert_allclose(float(got["loss"]), want_loss, rtol=1e-5)
     # cross-host psum reduction order differs from single-process at float
     # rounding level; after 3 Adam steps that is ~1e-6 on params
