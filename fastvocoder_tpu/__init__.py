@@ -30,6 +30,9 @@ def enable_compilation_cache(path: str = "/tmp/fastvocoder_jax_cache") -> None:
 
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # on this class of (single-core) machine even sub-second compiles are
+        # worth caching; entry-size floor off so tiny programs cache too
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:  # older jax without the knobs
         pass

@@ -1,7 +1,7 @@
 """Child process for the multi-host DP test (spawned by test_multihost.py).
 
-Each of 2 processes owns 4 virtual CPU devices; `jax.distributed.initialize`
-(driven by JAX_* env vars) forms an 8-device global mesh.  Runs 3 tiny
+Each of 2 processes owns 1 CPU device; `jax.distributed.initialize`
+(driven by JAX_* env vars) forms a 2-device global mesh.  Runs 3 tiny
 pre-adversarial train steps on a deterministic global batch and, on process
 0, dumps the resulting generator params for comparison with a single-process
 run of the same program.
@@ -35,14 +35,14 @@ def main():
 
     pid, pcount = maybe_initialize_distributed()
     assert pcount == 2, pcount
-    assert jax.local_device_count() == 4, jax.local_device_count()
-    assert len(jax.devices()) == 8, len(jax.devices())
+    assert jax.local_device_count() == 1, jax.local_device_count()
+    assert len(jax.devices()) == 2, len(jax.devices())
 
-    fixed = 20
+    fixed = 10
     hp = HP.replace(fixed_length=fixed)
     cfg = ModelConfig(
         model_name="melgan",
-        arch=MelGANConfig(channels=(16, 16, 16, 16, 16)),
+        arch=MelGANConfig(channels=(8, 8, 8, 8, 8)),
         lambda_stft=1.0,
     )
     trainer = make_trainer(cfg, hp=hp, disc_cfg=TINY_DISC)
@@ -53,12 +53,12 @@ def main():
     rng = np.random.default_rng(0)
     for i in range(n_steps):
         # every process generates the identical GLOBAL batch, then feeds its
-        # local quarter — mimicking batch_iterator's shard_index/shard_count
-        gmel = rng.standard_normal((8, fixed, 80)).astype(np.float32)
-        gwav = (0.1 * rng.standard_normal((8, fixed * hp.hop_size))).astype(
+        # local half — mimicking batch_iterator's shard_index/shard_count
+        gmel = rng.standard_normal((4, fixed, 80)).astype(np.float32)
+        gwav = (0.1 * rng.standard_normal((4, fixed * hp.hop_size))).astype(
             np.float32
         )
-        lo, hi = pid * 4, (pid + 1) * 4
+        lo, hi = pid * 2, (pid + 1) * 2
         batch = shard_batch({"mel": gmel[lo:hi], "wav": gwav[lo:hi]}, mesh)
         state, metrics = step(state, batch["mel"], batch["wav"])
 

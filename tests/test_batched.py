@@ -19,7 +19,7 @@ def test_batched_matches_single(rng):
         model_name="melgan", arch=MelGANConfig(channels=(8, 8, 8, 8, 8))
     )
     gen = build_generator(cfg)
-    params = gen.init(jax.random.PRNGKey(0), np.zeros((1, 8, 80), np.float32))[
+    params = jax.jit(gen.init)(jax.random.PRNGKey(0), np.zeros((1, 8, 80), np.float32))[
         "params"
     ]
     fwd = lambda p, m: gen.apply({"params": p}, m)

@@ -47,7 +47,7 @@ def test_generator_golden(model_name, conf):
     if model_name == "basis-melgan":
         kw["basis_signal_weight"] = g["basis"]
     gen = build_generator(cfg, **kw)
-    params = gen.init(jax.random.PRNGKey(0), mel)["params"]
+    params = jax.jit(gen.init)(jax.random.PRNGKey(0), mel)["params"]
     y = gen.apply({"params": params}, mel)
     if model_name == "basis-melgan":
         y = y[0]

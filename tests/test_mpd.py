@@ -22,7 +22,10 @@ def _mpd_key_map():
 
 
 @requires_reference
-def test_mpd_parity(rng):
+def test_mpd_parity_and_pad_path(rng):
+    """Full per-layer parity at a period-aligned length, plus the reflect-pad
+    branch (T not divisible by any period) — one torch build/convert for
+    both (the full-size MPD is the expensive part on a single-core host)."""
     reference_on_path()
     import torch
 
@@ -32,14 +35,12 @@ def test_mpd_parity(rng):
     ref = RefMPD()
     ref.eval()
     params = torch_to_flax(ref.state_dict(), _mpd_key_map())
-
     mpd = MultiPeriodDiscriminator()
 
     B, T = 2, 2310  # multiple of 2*3*5*7*11 to avoid pad-path ambiguity
     wav = (0.1 * rng.standard_normal((B, T))).astype(np.float32)
     with torch.no_grad():
         ref_outs = ref(torch.from_numpy(wav).unsqueeze(1))
-
     outs = mpd.apply({"params": params}, wav[..., None])
 
     assert len(outs) == len(ref_outs) == 5
@@ -56,22 +57,8 @@ def test_mpd_parity(rng):
                 o, t, atol=5e-4, rtol=1e-3, err_msg=f"period {si} layer {li}"
             )
 
-
-@requires_reference
-def test_mpd_pad_path(rng):
-    """T not divisible by the period exercises the reflect-pad branch."""
-    reference_on_path()
-    import torch
-
-    from model.discriminator.mpd import MultiPeriodDiscriminator as RefMPD
-
-    torch.manual_seed(8)
-    ref = RefMPD()
-    ref.eval()
-    params = torch_to_flax(ref.state_dict(), _mpd_key_map())
-    mpd = MultiPeriodDiscriminator()
-
-    wav = (0.1 * rng.standard_normal((1, 2311))).astype(np.float32)
+    # reflect-pad branch: T=1151 is not divisible by 2, 3, 5, 7, or 11
+    wav = (0.1 * rng.standard_normal((1, 1151))).astype(np.float32)
     with torch.no_grad():
         ref_outs = ref(torch.from_numpy(wav).unsqueeze(1))
     outs = mpd.apply({"params": params}, wav[..., None])

@@ -1,5 +1,5 @@
-"""Multi-host data parallelism: 2 processes x 4 virtual CPU devices each must
-produce EXACTLY the training result of one process with 8 devices.
+"""Multi-host data parallelism: 2 processes x 1 CPU device each must produce
+EXACTLY the training result of one process with a 2-device mesh.
 
 This is the SURVEY §2.7 TPU-native scaling story the reference lacks:
 `jax.distributed` forms the global runtime, the mesh spans hosts, each host
@@ -25,7 +25,7 @@ from fastvocoder_tpu.parallel import (
 from fastvocoder_tpu.train.trainer import make_trainer
 
 CHILD = os.path.join(os.path.dirname(__file__), "_multihost_child.py")
-N_STEPS = 3
+N_STEPS = 2
 
 
 def _free_port() -> int:
@@ -35,23 +35,23 @@ def _free_port() -> int:
 
 
 def _single_process_reference() -> tuple:
-    """The same 3-step program on this process's 8-device mesh."""
-    fixed = 20
+    """The same program on a 2-device mesh in this process."""
+    fixed = 10
     hp = HP.replace(fixed_length=fixed)
     cfg = ModelConfig(
         model_name="melgan",
-        arch=MelGANConfig(channels=(16, 16, 16, 16, 16)),
+        arch=MelGANConfig(channels=(8, 8, 8, 8, 8)),
         lambda_stft=1.0,
     )
     trainer = make_trainer(cfg, hp=hp, disc_cfg=TINY_DISC)
-    mesh = make_mesh()
+    mesh = make_mesh(jax.devices()[:2])
     state = replicate_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
     step = compile_train_step_no_weight(trainer.pre_adv_step, mesh)
 
     rng = np.random.default_rng(0)
     for _ in range(N_STEPS):
-        gmel = rng.standard_normal((8, fixed, 80)).astype(np.float32)
-        gwav = (0.1 * rng.standard_normal((8, fixed * hp.hop_size))).astype(
+        gmel = rng.standard_normal((4, fixed, 80)).astype(np.float32)
+        gwav = (0.1 * rng.standard_normal((4, fixed * hp.hop_size))).astype(
             np.float32
         )
         batch = shard_batch({"mel": gmel, "wav": gwav}, mesh)
@@ -78,7 +78,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
             for f in env.get("XLA_FLAGS", "").split()
             if "xla_force_host_platform_device_count" not in f
         ]
-        flags.append("--xla_force_host_platform_device_count=4")
+        flags.append("--xla_force_host_platform_device_count=1")
         env["XLA_FLAGS"] = " ".join(flags)
         env["JAX_PLATFORMS"] = "cpu"
         env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"

@@ -12,10 +12,10 @@ from fastvocoder_tpu.models.streaming import StreamingSynthesizer
 def test_streaming_matches_full_pass(rng):
     cfg = ModelConfig(
         model_name="melgan",
-        arch=MelGANConfig(channels=(16, 16, 16, 16, 16)),
+        arch=MelGANConfig(channels=(8, 8, 8, 8, 8)),
     )
     gen = build_generator(cfg)
-    params = gen.init(jax.random.PRNGKey(0), np.zeros((1, 8, 80), np.float32))[
+    params = jax.jit(gen.init)(jax.random.PRNGKey(0), np.zeros((1, 8, 80), np.float32))[
         "params"
     ]
     fwd = lambda p, m: gen.apply({"params": p}, m)
@@ -46,7 +46,7 @@ def test_streaming_single_chunk_short_input(rng):
         arch=MelGANConfig(channels=(8, 8, 8, 8, 8)),
     )
     gen = build_generator(cfg)
-    params = gen.init(jax.random.PRNGKey(1), np.zeros((1, 8, 80), np.float32))[
+    params = jax.jit(gen.init)(jax.random.PRNGKey(1), np.zeros((1, 8, 80), np.float32))[
         "params"
     ]
     fwd = lambda p, m: gen.apply({"params": p}, m)
@@ -67,7 +67,7 @@ def test_streaming_very_short_input_large_chunk(rng):
         arch=MelGANConfig(channels=(8, 8, 8, 8, 8)),
     )
     gen = build_generator(cfg)
-    params = gen.init(jax.random.PRNGKey(2), np.zeros((1, 8, 80), np.float32))[
+    params = jax.jit(gen.init)(jax.random.PRNGKey(2), np.zeros((1, 8, 80), np.float32))[
         "params"
     ]
     fwd = lambda p, m: gen.apply({"params": p}, m)

@@ -23,12 +23,12 @@ from fastvocoder_tpu.parallel import (
 )
 from fastvocoder_tpu.train.trainer import make_trainer
 
-FIXED = 20  # tiny crop: wav = 20 * 240 = 4800 samples
+FIXED = 10  # tiny crop: wav = 10 * 240 = 2400 samples
 TINY_HP = HP.replace(fixed_length=FIXED)
 
 
 def tiny_melgan_cfg(lambda_stft=1.0):
-    arch = MelGANConfig(channels=(16, 16, 16, 16, 16))
+    arch = MelGANConfig(channels=(8, 8, 8, 8, 8))
     return ModelConfig(model_name="melgan", arch=arch, lambda_stft=lambda_stft)
 
 
