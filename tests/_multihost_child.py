@@ -32,6 +32,7 @@ from fastvocoder_tpu.train.trainer import make_trainer
 def main():
     out_path = sys.argv[1]
     n_steps = int(sys.argv[2])
+    init_path = sys.argv[3]
 
     pid, pcount = maybe_initialize_distributed()
     assert pcount == 2, pcount
@@ -47,7 +48,16 @@ def main():
     )
     trainer = make_trainer(cfg, hp=hp, disc_cfg=TINY_DISC)
     mesh = make_mesh()
-    state = replicate_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
+    # the parent ships the initial TrainState; rebuilding it here would
+    # recompile the init program per child (the multi-process topology gets
+    # its own compilation-cache key).  eval_shape gives the pytree structure
+    # without compiling anything.
+    abs_state = jax.eval_shape(trainer.init_state, jax.random.PRNGKey(0))
+    treedef = jax.tree_util.tree_structure(abs_state)
+    init = np.load(init_path)
+    leaves = [init[f"l{i}"] for i in range(len(init.files))]
+    state0 = jax.tree_util.tree_unflatten(treedef, leaves)
+    state = replicate_state(state0, mesh)
     step = compile_train_step_no_weight(trainer.pre_adv_step, mesh)
 
     rng = np.random.default_rng(0)

@@ -24,7 +24,7 @@ def _init_flax(cfg, rng, basis=None):
 
     gen = build_generator(cfg, basis_signal_weight=basis)
     mel = np.zeros((1, 8, 80), np.float32)
-    return gen, jax.jit(gen.init)(jax.random.PRNGKey(0), mel)["params"]
+    return gen, gen.init(jax.random.PRNGKey(0), mel)["params"]
 
 
 @requires_reference
@@ -40,7 +40,7 @@ def test_torch_reference_loads_our_checkpoint(tmp_path, rng):
     cfg = load_model_config("hifigan", os.path.join(CONF, "hifigan/light.yaml"))
     gen, params = _init_flax(cfg, rng)
     disc = build_discriminator()
-    disc_params = jax.jit(disc.init)(jax.random.PRNGKey(1), np.zeros((1, 4800), np.float32))[
+    disc_params = disc.init(jax.random.PRNGKey(1), np.zeros((1, 4800), np.float32))[
         "params"
     ]
 

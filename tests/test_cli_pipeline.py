@@ -71,7 +71,7 @@ def test_full_cli_pipeline(workspace, monkeypatch):
     conf = tmp_path / "tiny.yaml"
     conf.write_text(
         "in_channels: 80\nout_channels: 1\nkernel_size: 7\n"
-        "channels: [16, 16, 16, 16, 16]\nupsample_scales: [10, 6, 2, 2]\n"
+        "channels: [8, 8, 8, 8, 8]\nupsample_scales: [10, 6, 2, 2]\n"
         "stack_kernel_size: 3\nstacks: 3\nuse_weight_norm: True\n"
         "use_causal_conv: False\nbias: True\nmultiband: False\n"
         "lamda_stft: 1.0\nuse_feature_map_loss: True\n"
@@ -83,7 +83,7 @@ def test_full_cli_pipeline(workspace, monkeypatch):
         "--mel_index_valid_path", str(tmp_path / "idx_mel" / "valid"),
         "--model_name", "melgan", "--config", str(conf),
         "--batch_size", "2", "--batch_expand_size", "2",
-        "--fixed_length", "20", "--max_steps", "2",
+        "--fixed_length", "10", "--max_steps", "2",
         "--save_step", "2", "--valid_step", "10000",
     ])
     ckpt_root = tmp_path / "checkpoint"

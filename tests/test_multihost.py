@@ -34,8 +34,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _single_process_reference() -> tuple:
-    """The same program on a 2-device mesh in this process."""
+def _single_process_reference(init_path: str) -> tuple:
+    """The same program on a 2-device mesh in this process; saves the
+    initial state for the children."""
     fixed = 10
     hp = HP.replace(fixed_length=fixed)
     cfg = ModelConfig(
@@ -45,7 +46,10 @@ def _single_process_reference() -> tuple:
     )
     trainer = make_trainer(cfg, hp=hp, disc_cfg=TINY_DISC)
     mesh = make_mesh(jax.devices()[:2])
-    state = replicate_state(trainer.init_state(jax.random.PRNGKey(0)), mesh)
+    state0 = trainer.init_state(jax.random.PRNGKey(0))
+    leaves = jax.tree_util.tree_leaves(jax.device_get(state0))
+    np.savez(init_path, **{f"l{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    state = replicate_state(state0, mesh)
     step = compile_train_step_no_weight(trainer.pre_adv_step, mesh)
 
     rng = np.random.default_rng(0)
@@ -65,9 +69,10 @@ def test_two_process_dp_matches_single_process(tmp_path):
     port = _free_port()
     out = str(tmp_path / "proc0.npz")
 
-    # run the single-process reference FIRST: it populates the persistent
-    # compilation cache with the init program the children reuse
-    want_loss, want_leaves = _single_process_reference()
+    init_path = str(tmp_path / "init.npz")
+    # single-process reference first — it also exports the initial state the
+    # children start from
+    want_loss, want_leaves = _single_process_reference(init_path)
 
     procs = []
     for pid in range(2):
@@ -86,7 +91,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
         env["JAX_PROCESS_ID"] = str(pid)
         procs.append(
             subprocess.Popen(
-                [sys.executable, CHILD, out, str(N_STEPS)],
+                [sys.executable, CHILD, out, str(N_STEPS), init_path],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,

@@ -81,7 +81,7 @@ def test_train_driver_smoke(tiny_dataset, tmp_path, monkeypatch):
     conf = tmp_path / "melgan_tiny.yaml"
     conf.write_text(
         "in_channels: 80\nout_channels: 1\nkernel_size: 7\n"
-        "channels: [16, 16, 16, 16, 16]\nupsample_scales: [10, 6, 2, 2]\n"
+        "channels: [8, 8, 8, 8, 8]\nupsample_scales: [10, 6, 2, 2]\n"
         "stack_kernel_size: 3\nstacks: 3\nuse_weight_norm: True\n"
         "use_causal_conv: False\nbias: True\nmultiband: False\n"
         "lamda_stft: 1.0\nuse_feature_map_loss: True\n"
@@ -97,7 +97,7 @@ def test_train_driver_smoke(tiny_dataset, tmp_path, monkeypatch):
         use_scheduler=0, mixprecision=0,
         basis_dataset_path="", seed=0,
         max_steps=6, test_size=0,
-        batch_size=2, batch_expand_size=2, fixed_length=20,
+        batch_size=2, batch_expand_size=2, fixed_length=10,
         save_step=4, valid_step=4, valid_num=2,
         discriminator_train_start_steps=100000,
     )
