@@ -102,3 +102,66 @@ def test_avg_pool_count_exclude_pad(rng):
     ).numpy()
     ours = avg_pool1d(jnp.asarray(to_ntc(x)), 4, 2, 1, count_include_pad=False)
     np.testing.assert_allclose(np.asarray(ours), to_ntc(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_conv_transpose1d_random_arith_sweep(rng, seed):
+    """Randomized (k, s, p, op) sweep vs torch — exercises both lowerings of
+    conv_transpose1d (polyphase for stride>=4 / tiny channels, lhs-dilated
+    otherwise) including edge cases: p=0 (negative per-phase input offsets),
+    k < s (gap phases with zero taps), and output_padding up to s-1."""
+    r = np.random.default_rng(seed)
+    for _ in range(8):
+        s = int(r.integers(2, 12))
+        k = int(r.integers(1, 2 * s + 4))
+        p = int(r.integers(0, max(1, k)))
+        op = int(r.integers(0, s))
+        T = int(r.integers(5, 20))
+        if (T - 1) * s - 2 * p + k + op <= 0:
+            continue
+        cin, cout = int(r.integers(1, 9)), int(r.integers(1, 9))
+        x = r.standard_normal((1, cin, T)).astype(np.float32)
+        w = r.standard_normal((cin, cout, k)).astype(np.float32)
+        ref = F.conv_transpose1d(
+            torch.from_numpy(x), torch.from_numpy(w),
+            stride=s, padding=p, output_padding=op,
+        ).numpy()
+        ours = conv_transpose1d(
+            jnp.asarray(to_ntc(x)), jnp.asarray(np.transpose(w, (2, 0, 1))),
+            stride=s, padding=p, output_padding=op,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours), to_ntc(ref), rtol=1e-4, atol=1e-4,
+            err_msg=f"k={k} s={s} p={p} op={op} T={T} cin={cin} cout={cout}",
+        )
+
+
+def test_upconv_polyphase_equals_lhs_dilated(rng):
+    """The polyphase lowering is numerically the lhs-dilated conv for the
+    shapes it accepts (t_out <= T*s)."""
+    from jax import lax
+
+    from fastvocoder_tpu.ops.conv import upconv_polyphase
+
+    r = np.random.default_rng(7)
+    for _ in range(8):
+        s = int(r.integers(2, 10))
+        k = int(r.integers(1, 3 * s))
+        pad_l = int(r.integers(0, k + s))
+        T = int(r.integers(4, 16))
+        cin, cout = int(r.integers(1, 6)), int(r.integers(1, 6))
+        # pick a t_out the polyphase form can produce
+        t_max = T * s
+        t_out = int(r.integers(max(1, t_max - s), t_max + 1))
+        x = jnp.asarray(r.standard_normal((2, T, cin)).astype(np.float32))
+        w = jnp.asarray(r.standard_normal((k, cin, cout)).astype(np.float32))
+        got = upconv_polyphase(x, w, s, pad_l, t_out)
+        # reference: dilated conv with enough right pad, sliced to t_out
+        full = lax.conv_general_dilated(
+            x, w, (1,), [(pad_l, k + s)], lhs_dilation=(s,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )[:, :t_out]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(full), rtol=1e-5, atol=1e-5,
+            err_msg=f"k={k} s={s} pad_l={pad_l} T={T} t_out={t_out}",
+        )
