@@ -13,6 +13,7 @@ if __name__ == "__main__":
 
     fastvocoder_tpu.enable_compilation_cache()
     from fastvocoder_tpu.bin import (
+        run_evaluation,
         run_preprocess,
         run_publisher,
         run_synthesizer,
@@ -31,7 +32,11 @@ if __name__ == "__main__":
         run_publisher()
     elif MODE == "test":
         run_test()
+    elif MODE == "evaluation":
+        # working replacement for the reference's broken bin/evaluation.py
+        run_evaluation()
     else:
         raise SystemExit(
-            f"unknown MODE={MODE!r}; want train|preprocess|synthesize|publish|test"
+            f"unknown MODE={MODE!r}; want "
+            "train|preprocess|synthesize|publish|test|evaluation"
         )

@@ -129,3 +129,17 @@ def test_full_cli_pipeline(workspace, monkeypatch):
         "--checkpoint_path", published, "--file_path", str(mel_dir),
         "--model_name", "melgan", "--config", str(conf),
     ])
+
+    # ---- 6. evaluation (the reference's evaluation.py is broken; ours works)
+    from fastvocoder_tpu.bin.evaluation import run_evaluation
+
+    summary = run_evaluation([
+        "--checkpoint_path", ckpt, "--model_name", "melgan",
+        "--config", str(conf),
+        "--audio_index_path", str(tmp_path / "idx_audio" / "eval"),
+        "--mel_index_path", str(tmp_path / "idx_mel" / "eval"),
+        "--num_items", "2",
+        "--output", str(tmp_path / "eval.json"),
+    ])
+    assert np.isfinite(summary["mr_stft"])
+    assert os.path.exists(tmp_path / "eval.json")
