@@ -86,7 +86,10 @@ def run(args):
         pad_batch_to_devices,
         replicate_state,
     )
-    from fastvocoder_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from fastvocoder_tpu.train.checkpoint import (
+        AsyncCheckpointWriter,
+        load_checkpoint,
+    )
 
     # multi-host: forms the global runtime when the env requests it
     # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID);
@@ -205,6 +208,9 @@ def run(args):
         writer = _make_writer(os.path.join(hp.tensorboard_path, stamp))
     else:
         writer = _NoopWriter()
+    # checkpoint saves run on a background thread so the train loop never
+    # blocks on host fetch + pickling (jax arrays are immutable snapshots)
+    ckpt_writer = AsyncCheckpointWriter() if is_main else None
 
     # datasets
     if args.model_name == "basis-melgan":
@@ -355,13 +361,13 @@ def run(args):
                         current_checkpoint_path,
                         f"checkpoint_{current_step}.pth.tar",
                     )
-                    save_checkpoint(
+                    ckpt_writer.submit(
                         ckpt_file, cfg,
                         state.gen_params, state.disc_params,
                         state.gen_opt_state, state.disc_opt_state,
                         step=current_step, disc_cfg=trainer.discriminator.cfg,
                     )
-                    logger.info(f"saved checkpoint {ckpt_file}")
+                    logger.info(f"saving checkpoint {ckpt_file} (async)")
 
             if current_step % hp.valid_step == 0:
                 drain_metrics()
@@ -371,10 +377,14 @@ def run(args):
             if max_steps and current_step >= max_steps:
                 logger.info(f"reached max_steps={max_steps}; stopping")
                 drain_metrics()
+                if ckpt_writer is not None:
+                    ckpt_writer.wait()
                 writer.close()
                 return state
 
     drain_metrics()
+    if ckpt_writer is not None:
+        ckpt_writer.wait()
     writer.close()
     return state
 

@@ -425,6 +425,49 @@ def _torch():
     return torch
 
 
+class AsyncCheckpointWriter:
+    """Background-thread checkpoint saving.
+
+    `save_checkpoint` fetches every array to the host and pickles it, which
+    blocks the train loop for seconds per save on a real TPU run.  jax
+    arrays are immutable (donation creates new buffers), so snapshotting
+    them from a worker thread is safe; the loop only enqueues.  One worker,
+    saves execute in submission order; call `wait()` before reading the
+    files or exiting."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._errors: list = []
+        self._t = threading.Thread(target=self._worker, daemon=True)
+        self._t.start()
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            args, kwargs = item
+            try:
+                save_checkpoint(*args, **kwargs)
+            except Exception as e:  # surfaced by wait()
+                self._errors.append(e)
+            finally:
+                self._q.task_done()
+
+    def submit(self, *args, **kwargs) -> None:
+        self._q.put((args, kwargs))
+
+    def wait(self) -> None:
+        """Block until all submitted saves hit disk; re-raise any failure."""
+        self._q.join()
+        if self._errors:
+            raise self._errors[0]
+
+
 def save_checkpoint(
     path: str,
     cfg,
