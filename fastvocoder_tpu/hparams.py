@@ -16,7 +16,7 @@ from typing import Any, List, Optional, Sequence
 
 import yaml
 
-MODEL_NAMES = ("melgan", "hifigan", "multiband-hifigan", "basis-melgan")
+MODEL_NAMES = ("melgan", "hifigan", "multiband-hifigan", "basis-melgan", "nhv")
 
 
 @dataclass(frozen=True)
@@ -145,6 +145,24 @@ class BasisMelGANConfig:
 
 
 @dataclass(frozen=True)
+class NHVConfig:
+    """Neural Homomorphic Vocoder (models/nhv.py — the reference's empty
+    TODO, reference model/generator/nhv.py).  Conditioning is mel + f0
+    packed as in_channels + 1 input channels (dsp/f0.py)."""
+
+    in_channels: int = 80          # mel channels; cond adds +1 f0 channel
+    channels: int = 256            # filter-estimator CNN width
+    n_layers: int = 3
+    kernel_size: int = 3
+    ccep_size: int = 222           # complex-cepstrum length per filter
+    fir_taps: int = 129            # final trainable FIR
+    fft_size: int = 1024           # LTV filtering frame FFT
+    win_length: int = 480          # 2 * hop
+    hop_size: int = 240
+    sample_rate: int = 24000
+
+
+@dataclass(frozen=True)
 class DiscriminatorConfig:
     """Composite-discriminator sizes (reference hard-codes these:
     model/discriminator/msd.py:117-202, mfd.py:146-175).  Making them
@@ -244,6 +262,19 @@ def load_model_config(model_name: str, config_path: str) -> ModelConfig:
             transposedconv=bool(raw["transposedconv"]),
             bias=bool(raw.get("bias", True)),
             out_bands=4 if model_name == "multiband-hifigan" else 1,
+        )
+    elif model_name == "nhv":
+        arch = NHVConfig(
+            in_channels=int(raw.get("in_channels", 80)),
+            channels=int(raw.get("channels", 256)),
+            n_layers=int(raw.get("n_layers", 3)),
+            kernel_size=int(raw.get("kernel_size", 3)),
+            ccep_size=int(raw.get("ccep_size", 222)),
+            fir_taps=int(raw.get("fir_taps", 129)),
+            fft_size=int(raw.get("fft_size", 1024)),
+            win_length=int(raw.get("win_length", 480)),
+            hop_size=int(raw.get("hop_size", 240)),
+            sample_rate=int(raw.get("sample_rate", 24000)),
         )
     else:  # basis-melgan
         arch = BasisMelGANConfig(

@@ -46,6 +46,10 @@ def build_generator(
         return BasisMelGANGenerator(
             cfg=arch, basis_init=basis_signal_weight, compute_dtype=compute_dtype
         )
+    if name == "nhv":
+        from fastvocoder_tpu.models.nhv import NHVGenerator
+
+        return NHVGenerator(cfg=arch, compute_dtype=compute_dtype)
     raise ValueError(f"no model find! ({name})")
 
 

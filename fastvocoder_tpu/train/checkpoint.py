@@ -468,6 +468,34 @@ class AsyncCheckpointWriter:
             raise self._errors[0]
 
 
+def _flatten_native(tree, prefix="") -> Dict[str, np.ndarray]:
+    """Flax param tree -> {'a/b/c': array} (models with no torch-reference
+    layout, e.g. NHV — the reference never implemented it)."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten_native(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_native(flat: Dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(v)
+    return tree
+
+
+def _has_torch_layout(cfg) -> bool:
+    return cfg.model_name != "nhv"
+
+
 def save_checkpoint(
     path: str,
     cfg,
@@ -483,11 +511,18 @@ def save_checkpoint(
 
     torch = _torch()
     host = lambda tree: jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
-    out: dict = {
-        "model": {
+    if _has_torch_layout(cfg):
+        model_entry = {
             k: torch.from_numpy(np.asarray(v))
             for k, v in flax_to_torch(host(gen_params), generator_key_map(cfg)).items()
-        },
+        }
+    else:  # native flat layout (no reference state_dict exists to mirror)
+        model_entry = {
+            k: torch.from_numpy(v)
+            for k, v in _flatten_native(host(gen_params)).items()
+        }
+    out: dict = {
+        "model": model_entry,
         "step": int(step),
     }
     if disc_params is not None:
@@ -519,8 +554,14 @@ def load_checkpoint(
     """
     torch = _torch()
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if _has_torch_layout(cfg):
+        gen_params = torch_to_flax(ckpt["model"], generator_key_map(cfg))
+    else:
+        gen_params = _unflatten_native(
+            {k: _to_np(v) for k, v in ckpt["model"].items()}
+        )
     out: dict = {
-        "gen_params": torch_to_flax(ckpt["model"], generator_key_map(cfg)),
+        "gen_params": gen_params,
         "step": int(ckpt.get("step", 0)),
     }
     if with_discriminator and "discriminator" in ckpt:

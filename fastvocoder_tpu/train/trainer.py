@@ -161,9 +161,10 @@ class Trainer:
         self, rng: jax.Array, mel_frames: Optional[int] = None
     ) -> TrainState:
         T = mel_frames if mel_frames is not None else self.hp.fixed_length
-        mel = jnp.zeros((1, T, self.cfg.arch.in_channels
-                         if hasattr(self.cfg.arch, "in_channels") else 80),
-                        jnp.float32)
+        ch = getattr(self.cfg.arch, "in_channels", 80)
+        if self.cfg.model_name == "nhv":
+            ch += 1  # f0 conditioning channel (dsp/f0.py)
+        mel = jnp.zeros((1, T, ch), jnp.float32)
         # discriminator inputs are always full-band waveforms
         wav = jnp.zeros((1, T * self.hp.hop_size), jnp.float32)
 
@@ -185,8 +186,12 @@ class Trainer:
 
     # ---- forward helpers ----
 
-    def _gen_forward(self, params, mel):
-        out = self.generator.apply({"params": params}, mel)
+    def _gen_forward(self, params, mel, step=None):
+        kw = {}
+        if self.cfg.model_name == "nhv" and step is not None:
+            # fresh noise-source draw per train step (deterministic in step)
+            kw["rngs"] = {"noise": jax.random.fold_in(jax.random.PRNGKey(42), step)}
+        out = self.generator.apply({"params": params}, mel, **kw)
         if self.cfg.model_name == "basis-melgan":
             return out  # (est_source, est_weight)
         return out, None
@@ -204,7 +209,7 @@ class Trainer:
         """Generator-only phase (step <= discriminator_train_start_steps)."""
 
         def loss_fn(gen_params):
-            est, est_weight = self._gen_forward(gen_params, mel)
+            est, est_weight = self._gen_forward(gen_params, mel, step=state.step)
             stft_l, weight_l = reconstruction_loss(
                 est, wav, est_weight=est_weight, weight=weight, pqmf=self.pqmf
             )
@@ -239,7 +244,7 @@ class Trainer:
         estimate — one jit, two optimizer applications."""
 
         def gen_loss_fn(gen_params):
-            est, est_weight = self._gen_forward(gen_params, mel)
+            est, est_weight = self._gen_forward(gen_params, mel, step=state.step)
             stft_l, _ = reconstruction_loss(
                 est, wav, est_weight=est_weight, weight=weight, pqmf=self.pqmf
             )
@@ -277,7 +282,7 @@ class Trainer:
 
         # --- discriminator phase: re-forward G with *updated* params under
         # stop_gradient (reference bin/train.py:144-155) ---
-        est_for_d, _ = self._gen_forward(gen_params, mel)
+        est_for_d, _ = self._gen_forward(gen_params, mel, step=state.step)
         est_for_d = jax.lax.stop_gradient(self._to_fullband(est_for_d))
 
         def disc_loss_fn(disc_params):
