@@ -21,6 +21,8 @@ def run_preprocess(argv=None):
     parser.add_argument("--mel_index_path", type=str,
                         default=os.path.join("dataset", "mel"))
     parser.add_argument("--no_multiprocess", action="store_true")
+    parser.add_argument("--extract_f0", action="store_true",
+                        help="also write <name>.f0.npy (NHV conditioning)")
     parser.add_argument("--train_size", type=int, default=HP.train_size)
     parser.add_argument("--valid_size", type=int, default=HP.valid_size)
     parser.add_argument("--eval_size", type=int, default=HP.eval_size)
@@ -32,7 +34,8 @@ def run_preprocess(argv=None):
         eval_size=args.eval_size,
     )
     audio_index, mel_index = preprocess(
-        args.data_path, args.save_path, hp, multiprocess=not args.no_multiprocess
+        args.data_path, args.save_path, hp,
+        multiprocess=not args.no_multiprocess, extract_f0=args.extract_f0,
     )
     write_splits(audio_index, mel_index, args.audio_index_path, args.mel_index_path, hp)
 

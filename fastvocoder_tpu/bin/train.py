@@ -223,15 +223,16 @@ def run(args):
             weight_dir=os.path.join(args.basis_dataset_path, "weight"), hp=hp,
         )
     else:
+        with_f0 = args.model_name == "nhv"  # f0 conditioning (dsp/f0.py)
         buffer = load_data_to_buffer(
             args.audio_index_path, args.mel_index_path,
             feature_savepath="features_train.bin", test_size=hp.test_size,
-            log=logger.info,
+            log=logger.info, with_f0=with_f0,
         )
         valid_buffer = load_data_to_buffer(
             args.audio_index_valid_path, args.mel_index_valid_path,
             feature_savepath="features_valid.bin", test_size=hp.test_size,
-            log=logger.info,
+            log=logger.info, with_f0=with_f0,
         )
         dataset = BufferDataset(buffer, hp)
         valid_dataset = BufferDataset(valid_buffer, hp)
@@ -291,9 +292,14 @@ def run(args):
         gen_params = jax.device_get(state.gen_params)
         for idx in range(n_items):
             item = valid_dataset[idx]
-            t_mel = item["mel"].shape[0]
+            mel_item = item["mel"]
+            if "f0" in item:  # NHV conditioning channel
+                mel_item = np.concatenate(
+                    [mel_item, item["f0"][: mel_item.shape[0], None]], axis=1
+                )
+            t_mel = mel_item.shape[0]
             t_b = ((t_mel + bucket - 1) // bucket) * bucket
-            mel = np.pad(item["mel"], ((0, t_b - t_mel), (0, 0)))[None]
+            mel = np.pad(mel_item, ((0, t_b - t_mel), (0, 0)))[None]
             wav = item["wav"][: t_mel * hp.hop_size]
             n_true = wav.shape[0]
             wav = np.pad(wav, (0, t_b * hp.hop_size - n_true))[None]

@@ -47,11 +47,17 @@ def load_data_to_buffer(
     feature_savepath: Optional[str] = "features.bin",
     test_size: int = 0,
     log=print,
+    with_f0: bool = False,
 ) -> List[Item]:
+    """with_f0=True additionally loads `<name>.f0.npy` next to each
+    `<name>.mel.npy` (written by preprocess --extract_f0; NHV conditioning)."""
     if feature_savepath and os.path.exists(feature_savepath):
         log(f"loading buffer from {feature_savepath}")
         with open(feature_savepath, "rb") as f:
-            return pickle.load(f)
+            buf = pickle.load(f)
+        if not with_f0 or (buf and "f0" in buf[0]):
+            return buf
+        log("cached buffer lacks f0; reloading")
 
     audio_index = parse_path_file(audio_index_path_file)
     mel_index = parse_path_file(mel_index_path_file)
@@ -67,7 +73,12 @@ def load_data_to_buffer(
         mel = np.load(mel_index[i]).T.astype(np.float32)  # (T, 80)
         wav = np.load(audio_index[i]).astype(np.float32)
         min_length = mel.shape[0] if min_length is None else min(min_length, mel.shape[0])
-        buffer.append({"mel": mel, "wav": wav})
+        item: Item = {"mel": mel, "wav": wav}
+        if with_f0:
+            f0_path = mel_index[i].replace(".mel.npy", ".f0.npy")
+            f0 = np.load(f0_path).astype(np.float32)
+            item["f0"] = f0[: mel.shape[0]]
+        buffer.append(item)
     log(
         f"loaded {n} items in {time.perf_counter() - start:.1f}s; "
         f"min mel length {min_length}"
@@ -163,6 +174,8 @@ def crop_item(
         "mel": data["mel"][start:end],
         "wav": data["wav"][start * hp.hop_size : end * hp.hop_size],
     }
+    if "f0" in data:
+        out["f0"] = data["f0"][start:end]
     if "weight" in data:
         wstep = hp.hop_size // (L // 2)
         out["weight"] = data["weight"][start * wstep : end * wstep]
@@ -184,6 +197,11 @@ def collate(items: Sequence[Item], hp: Hparams, L: Optional[int] = None) -> Item
         "mel": np.stack([_pad_to(d["mel"], fixed) for d in items]),
         "wav": np.stack([_pad_to(d["wav"], fixed * hp.hop_size) for d in items]),
     }
+    if "f0" in items[0]:
+        # NHV conditioning: pack f0 as mel channel 80 (dsp/f0.py) so the
+        # batch keeps the standard {mel, wav} shape contract
+        f0 = np.stack([_pad_to(d["f0"], fixed) for d in items])
+        batch["mel"] = np.concatenate([batch["mel"], f0[..., None]], axis=-1)
     if "weight" in items[0]:
         wlen = fixed * (hp.hop_size // (L // 2))
         batch["weight"] = np.stack([_pad_to(d["weight"], wlen) for d in items])

@@ -29,7 +29,8 @@ from fastvocoder_tpu.hparams import HP, Hparams
 
 
 def extract_one(
-    wav_filepath: str, mel_filepath: str, new_wav_filepath: str, hp: Hparams = HP
+    wav_filepath: str, mel_filepath: str, new_wav_filepath: str, hp: Hparams = HP,
+    extract_f0: bool = False,
 ) -> Optional[int]:
     """Returns the mel frame count, or None on failure."""
     try:
@@ -37,6 +38,13 @@ def extract_one(
         mel = audio.melspectrogram(y, hp)  # (80, T)
         np.save(mel_filepath, mel)
         np.save(new_wav_filepath, y)
+        if extract_f0:  # NHV conditioning (dsp/f0.py)
+            from fastvocoder_tpu.dsp.f0 import extract_f0 as _f0
+
+            np.save(
+                mel_filepath.replace(".mel.npy", ".f0.npy"),
+                _f0(y, hp)[: mel.shape[1]],
+            )
         return int(mel.shape[1])
     except Exception as e:  # noqa: BLE001 — per-file isolation
         print(f"ERROR processing {wav_filepath}: {e}")
@@ -49,6 +57,7 @@ def preprocess(
     hp: Hparams = HP,
     multiprocess: bool = True,
     max_workers: Optional[int] = None,
+    extract_f0: bool = False,
 ) -> Tuple[List[str], List[str]]:
     """Extract features for every wav in the index file; returns
     (audio_index, mel_index) path lists (failed files excluded)."""
@@ -70,10 +79,13 @@ def preprocess(
         workers = max_workers or max(1, cpu_count() // 2)
         with ProcessPoolExecutor(max_workers=workers) as ex:
             lengths = list(
-                ex.map(partial(_kernel, hp=hp), jobs, chunksize=8)
+                ex.map(
+                    partial(_kernel, hp=hp, extract_f0=extract_f0),
+                    jobs, chunksize=8,
+                )
             )
     else:
-        lengths = [_kernel(j, hp=hp) for j in jobs]
+        lengths = [_kernel(j, hp=hp, extract_f0=extract_f0) for j in jobs]
 
     audio_index, mel_index, ok_lengths = [], [], []
     for (wav_fp, mel_fp, new_wav_fp), n in zip(jobs, lengths):
@@ -90,8 +102,8 @@ def preprocess(
     return audio_index, mel_index
 
 
-def _kernel(job, hp: Hparams):
-    return extract_one(*job, hp=hp)
+def _kernel(job, hp: Hparams, extract_f0: bool = False):
+    return extract_one(*job, hp=hp, extract_f0=extract_f0)
 
 
 def write_file(

@@ -138,3 +138,64 @@ def test_nhv_train_step_descends(rng):
         losses.append(float(metrics["stft_loss"]))
     assert all(np.isfinite(losses)), losses
     assert losses[-1] < losses[0], losses
+
+
+def test_nhv_cli_train_end_to_end(tmp_path, monkeypatch, rng):
+    """preprocess --extract_f0 -> bin/train --model_name nhv: the full
+    driver path with f0-aware buffer/collate and a tiny NHV."""
+    import functools
+
+    import scipy.io.wavfile
+
+    import fastvocoder_tpu.bin.train as train_mod
+    from fastvocoder_tpu.bin.preprocess import run_preprocess
+    from fastvocoder_tpu.train.trainer import make_trainer
+
+    monkeypatch.chdir(tmp_path)
+
+    sr = HP.sample_rate
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    paths = []
+    for i in range(6):
+        t = np.arange(int(0.5 * sr)) / sr
+        y = 0.4 * np.sin(2 * np.pi * (150 + 30 * i) * t)
+        p = wav_dir / f"u{i}.wav"
+        scipy.io.wavfile.write(str(p), sr, (y * 32000).astype(np.int16))
+        paths.append(str(p))
+    (tmp_path / "index.txt").write_text("\n".join(paths) + "\n")
+
+    run_preprocess([
+        "--data_path", str(tmp_path / "index.txt"),
+        "--save_path", str(tmp_path / "processed"),
+        "--audio_index_path", str(tmp_path / "ia"),
+        "--mel_index_path", str(tmp_path / "im"),
+        "--no_multiprocess", "--extract_f0",
+        "--train_size", "4", "--valid_size", "1", "--eval_size", "1",
+    ])
+    assert any(f.endswith(".f0.npy") for f in os.listdir(tmp_path / "processed"))
+
+    monkeypatch.setattr(
+        train_mod, "make_trainer", functools.partial(make_trainer, disc_cfg=TINY_DISC)
+    )
+    conf = tmp_path / "nhv_tiny.yaml"
+    conf.write_text(
+        "in_channels: 80\nchannels: 16\nn_layers: 2\nkernel_size: 3\n"
+        "ccep_size: 32\nfir_taps: 17\nfft_size: 512\nwin_length: 480\n"
+        "hop_size: 240\nsample_rate: 24000\nmultiband: False\n"
+        "use_feature_map_loss: False\nlamda_stft: 1.0\n"
+    )
+    train_mod.run_train([
+        "--audio_index_path", str(tmp_path / "ia" / "train"),
+        "--mel_index_path", str(tmp_path / "im" / "train"),
+        "--audio_index_valid_path", str(tmp_path / "ia" / "valid"),
+        "--mel_index_valid_path", str(tmp_path / "im" / "valid"),
+        "--model_name", "nhv", "--config", str(conf),
+        "--batch_size", "2", "--batch_expand_size", "2",
+        "--fixed_length", "10", "--max_steps", "2",
+        "--save_step", "2", "--valid_step", "2", "--valid_num", "1",
+    ])
+    run_dirs = os.listdir(tmp_path / "checkpoint")
+    assert "checkpoint_2.pth.tar" in os.listdir(
+        tmp_path / "checkpoint" / run_dirs[0]
+    )
