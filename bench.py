@@ -51,6 +51,8 @@ MODELS = [
         0.4956,
     ),
     ("melgan", "conf/melgan/original.yaml", "melgan_rtf", None),
+    # NHV: the reference never implemented it (empty TODO) — no baseline
+    ("nhv", "conf/nhv/default.yaml", "nhv_rtf", None),
 ]
 
 
@@ -67,7 +69,8 @@ def load_mels() -> np.ndarray:
 
 
 def build(model_name: str, conf: str):
-    """-> (inference_fn(params, mel (B,T,80)) -> full-band wav, params)."""
+    """-> (inference_fn(params, cond) -> full-band wav, params, prep) where
+    prep maps the (B, T, 80) mel eval set to the model's conditioning."""
     import jax
 
     from fastvocoder_tpu.hparams import load_model_config
@@ -84,19 +87,29 @@ def build(model_name: str, conf: str):
     # published checkpoints (reference bin/synthesize.py:72)
     gen = build_generator(cfg, weight_norm=False, **kw)
 
-    if model_name == "basis-melgan":
+    if model_name in ("basis-melgan", "nhv"):
         fwd = lambda p, m: gen.apply({"params": p}, m, method=gen.inference)
     elif model_name == "multiband-hifigan":
         fwd = lambda p, m: gen.apply({"params": p}, m, method=gen.synthesize)
     else:
         fwd = lambda p, m: gen.apply({"params": p}, m)
 
+    if model_name == "nhv":
+        # conditioning = mel + f0 channel (220 Hz synthetic contour)
+        prep = lambda mels: np.concatenate(
+            [mels, np.full(mels.shape[:2] + (1,), 220.0, np.float32)], axis=-1
+        )
+        in_ch = 81
+    else:
+        prep = lambda mels: mels
+        in_ch = 80
+
     # jitted init: eager flax init dispatches hundreds of tiny ops, which is
     # very slow over a remote-device link
     params = jax.jit(gen.init)(
-        jax.random.PRNGKey(0), np.zeros((1, 8, 80), np.float32)
+        jax.random.PRNGKey(0), np.zeros((1, 8, in_ch), np.float32)
     )["params"]
-    return fwd, params
+    return fwd, params, prep
 
 
 def bench_rtf(fwd, params, mels: np.ndarray) -> float:
@@ -170,8 +183,8 @@ def main():
     extras = {}
     headline = None
     for model_name, conf, key, baseline in MODELS:
-        fwd, params = build(model_name, os.path.join(root, conf))
-        rtf = bench_rtf(fwd, params, mels)
+        fwd, params, prep = build(model_name, os.path.join(root, conf))
+        rtf = bench_rtf(fwd, params, prep(mels))
         vs = round(baseline / rtf, 2) if baseline else None
         extras[key] = {"rtf": round(rtf, 6), "vs_baseline": vs}
         print(f"{key}: rtf={rtf:.6f} vs_baseline={vs}", file=sys.stderr)
