@@ -13,7 +13,7 @@ import argparse
 
 import numpy as np
 
-from fastvocoder_tpu.hparams import HP, load_model_config
+from fastvocoder_tpu.hparams import load_model_config
 from fastvocoder_tpu.models.factory import build_generator
 from fastvocoder_tpu.train.checkpoint import load_checkpoint, save_published
 

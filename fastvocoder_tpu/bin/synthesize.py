@@ -16,8 +16,7 @@ from __future__ import annotations
 
 import argparse
 import functools
-import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -22,7 +22,6 @@ import argparse
 import logging
 import os
 from datetime import datetime
-from typing import Optional
 
 import numpy as np
 

@@ -10,9 +10,8 @@ tolerant read of the ``lamda_stft`` typo key, reference conf/*/*.yaml).
 from __future__ import annotations
 
 import dataclasses
-import os
 from dataclasses import dataclass, field
-from typing import Any, List, Optional, Sequence
+from typing import Any, Sequence
 
 import yaml
 

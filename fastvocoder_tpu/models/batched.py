@@ -9,7 +9,7 @@ serving-style path behind the ">100x realtime batched synthesis" target.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence, Tuple
+from typing import Callable, Dict, List, Sequence
 
 import numpy as np
 

@@ -29,7 +29,6 @@ from fastvocoder_tpu.ops.conv import (
     constant_pad1d,
     reflect_pad1d,
 )
-from fastvocoder_tpu.ops.overlap_add import overlap_and_add
 
 LRELU_SLOPE = 0.1  # hifigan family (reference modules.py:9)
 

@@ -30,7 +30,7 @@ loss + an adversarial loss, which this reproduces.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,7 @@ fields; tests/test_streaming.py verifies exactness against the full pass.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 
@@ -52,8 +51,6 @@ class StreamingSynthesizer:
     def __call__(self, mel: np.ndarray) -> np.ndarray:
         """mel (T, C) -> wav (T * samples_per_frame,). One compiled program
         regardless of T."""
-        import jax.numpy as jnp
-
         T = mel.shape[0]
         h, c = self.halo, self.chunk
         out = np.zeros((T * self.spf,), dtype=np.float32)

@@ -25,9 +25,7 @@ bin/train.py:329-331).
 from __future__ import annotations
 
 import dataclasses
-import functools
-import math
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
