@@ -45,11 +45,17 @@ class Synthesizer:
         self.L = getattr(self.cfg.arch, "L", None)
 
         ckpt = load_checkpoint(checkpoint_path, self.cfg, with_discriminator=False)
-        self.params = fuse_weight_norm(ckpt["gen_params"])
+        if model_name == "nhv":
+            # native checkpoint layout, no fused (remove_weight_norm) form;
+            # conditioning must be mel + f0 (dsp.f0.f0_to_condition)
+            self.params = ckpt["gen_params"]
+            self.generator = build_generator(self.cfg, compute_dtype=compute_dtype)
+        else:
+            self.params = fuse_weight_norm(ckpt["gen_params"])
+            self.generator = build_generator(
+                self.cfg, weight_norm=False, compute_dtype=compute_dtype
+            )
         self.pattern = ckpt.get("pattern")
-        self.generator = build_generator(
-            self.cfg, weight_norm=False, compute_dtype=compute_dtype
-        )
         self._jax = jax
 
     # ---- compiled inference, cached per mel length ----
@@ -59,7 +65,7 @@ class Synthesizer:
         jax = self._jax
         gen = self.generator
 
-        if self.model_name == "basis-melgan":
+        if self.model_name in ("basis-melgan", "nhv"):
             fn = lambda p, m: gen.apply({"params": p}, m, method=gen.inference)
         elif self.model_name == "multiband-hifigan":
             fn = lambda p, m: gen.apply({"params": p}, m, method=gen.synthesize)

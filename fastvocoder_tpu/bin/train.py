@@ -82,7 +82,6 @@ def run(args):
         is_main_process,
         make_mesh,
         maybe_initialize_distributed,
-        pad_batch_to_devices,
         replicate_state,
     )
     from fastvocoder_tpu.train.checkpoint import (
@@ -136,17 +135,34 @@ def run(args):
         compute_dtype=compute_dtype,
     )
 
-    mesh = make_mesh()
-    n_dev = len(mesh.devices.reshape(-1))
-    n_local = jax.local_device_count()
-    logger.info(
-        f"data-parallel mesh over {n_dev} device(s)"
-        + (f" across {proc_count} hosts (process {proc_id})" if proc_count > 1 else "")
-    )
     assert hp.batch_size % proc_count == 0, (
         f"batch_size {hp.batch_size} must divide over {proc_count} hosts"
     )
     per_host_bs = hp.batch_size // proc_count
+
+    # use the largest per-host device count that divides the batch: padding
+    # the batch instead would silently duplicate examples into the per-step
+    # loss mean
+    import math
+
+    n_local = math.gcd(per_host_bs, jax.local_device_count())
+    if n_local != jax.local_device_count():
+        logger.warning(
+            f"per-host batch {per_host_bs} not divisible by "
+            f"{jax.local_device_count()} local devices; using {n_local}"
+        )
+    if proc_count == 1:
+        mesh = make_mesh(jax.devices()[:n_local])
+    else:
+        devs = []
+        for pidx in range(proc_count):
+            devs += [d for d in jax.devices() if d.process_index == pidx][:n_local]
+        mesh = make_mesh(devs)
+    n_dev = len(mesh.devices.reshape(-1))
+    logger.info(
+        f"data-parallel mesh over {n_dev} device(s)"
+        + (f" across {proc_count} hosts (process {proc_id})" if proc_count > 1 else "")
+    )
 
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
     restored = False
@@ -216,22 +232,26 @@ def run(args):
         dataset = WeightDataset.from_index_files(
             args.audio_index_path, args.mel_index_path, cfg.arch.L,
             weight_dir=os.path.join(args.basis_dataset_path, "weight"), hp=hp,
+            test_size=hp.test_size,
         )
         valid_dataset = WeightDataset.from_index_files(
             args.audio_index_valid_path, args.mel_index_valid_path, cfg.arch.L,
             weight_dir=os.path.join(args.basis_dataset_path, "weight"), hp=hp,
+            test_size=hp.test_size,
         )
     else:
         with_f0 = args.model_name == "nhv"  # f0 conditioning (dsp/f0.py)
+        # only process 0 writes the pickle cache (shared-FS safe); other
+        # hosts still read it when present
         buffer = load_data_to_buffer(
             args.audio_index_path, args.mel_index_path,
             feature_savepath="features_train.bin", test_size=hp.test_size,
-            log=logger.info, with_f0=with_f0,
+            log=logger.info, with_f0=with_f0, write_cache=is_main,
         )
         valid_buffer = load_data_to_buffer(
             args.audio_index_valid_path, args.mel_index_valid_path,
             feature_savepath="features_valid.bin", test_size=hp.test_size,
-            log=logger.info, with_f0=with_f0,
+            log=logger.info, with_f0=with_f0, write_cache=is_main,
         )
         dataset = BufferDataset(buffer, hp)
         valid_dataset = BufferDataset(valid_buffer, hp)
@@ -317,13 +337,13 @@ def run(args):
         def host_batches(epoch=epoch):
             # per-host shard of the common shuffled epoch: disjoint slice,
             # per-host sub-batches assemble into the global batch
-            for b in batch_iterator(
+            # divisibility asserted at startup; no padding (padding would
+            # duplicate examples into the per-step loss mean)
+            yield from batch_iterator(
                 dataset, hp, seed=args.seed, epoch=epoch, L=L,
                 shard_index=proc_id, shard_count=proc_count,
                 batch_size=per_host_bs,
-            ):
-                b, _ = pad_batch_to_devices(b, n_local)
-                yield b
+            )
 
         # background-thread device prefetch: the H2D transfer of batch k+1
         # overlaps the computation of batch k (the reference overlaps via

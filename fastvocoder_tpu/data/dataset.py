@@ -48,6 +48,7 @@ def load_data_to_buffer(
     test_size: int = 0,
     log=print,
     with_f0: bool = False,
+    write_cache: bool = True,
 ) -> List[Item]:
     """with_f0=True additionally loads `<name>.f0.npy` next to each
     `<name>.mel.npy` (written by preprocess --extract_f0; NHV conditioning)."""
@@ -84,9 +85,13 @@ def load_data_to_buffer(
         f"min mel length {min_length}"
     )
 
-    if feature_savepath:
-        with open(feature_savepath, "wb") as f:
+    if feature_savepath and write_cache:
+        # atomic replace: concurrent readers (multi-host shared FS) never
+        # observe a partially written pickle
+        tmp = feature_savepath + ".tmp"
+        with open(tmp, "wb") as f:
             pickle.dump(buffer, f)
+        os.replace(tmp, feature_savepath)
     return buffer
 
 
@@ -126,11 +131,13 @@ class WeightDataset:
     @classmethod
     def from_index_files(
         cls, audio_index_file: str, mel_index_file: str, L: int,
-        weight_dir: str, hp: Hparams = HP,
+        weight_dir: str, hp: Hparams = HP, test_size: int = 0,
     ) -> "WeightDataset":
         a = parse_path_file(audio_index_file)
         m = parse_path_file(mel_index_file)
         assert len(a) == len(m)
+        if test_size and test_size < len(a):  # smoke-run truncation
+            a, m = a[:test_size], m[:test_size]
         return cls(a, m, L, weight_dir, hp)
 
     def __len__(self) -> int:

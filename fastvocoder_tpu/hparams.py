@@ -75,6 +75,18 @@ class Hparams:
     lambda_fm: float = 1.0
     lambda_stft: float = 5.0
 
+    def __post_init__(self):
+        # hop_size is the integer constant everything frame-aligned reads
+        # (crops, f0, NHV, validation); frame_shift_ms drives DSP extraction.
+        # They encode the same quantity — refuse silent desync.
+        derived = int(self.frame_shift_ms / 1000 * self.sample_rate)
+        if derived != self.hop_size:
+            raise ValueError(
+                f"hop_size={self.hop_size} inconsistent with "
+                f"frame_shift_ms={self.frame_shift_ms} @ {self.sample_rate} Hz "
+                f"(= {derived}); change both together"
+            )
+
     @property
     def n_fft(self) -> int:
         return (self.num_freq - 1) * 2

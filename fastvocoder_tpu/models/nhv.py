@@ -128,6 +128,13 @@ class NHVGenerator(nn.Module):
     @nn.compact
     def __call__(self, cond: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
+        if cond.shape[-1] != cfg.in_channels + 1:
+            raise ValueError(
+                f"NHV conditioning must be (B, T, {cfg.in_channels + 1}) = "
+                f"mel + f0 channel (dsp.f0.f0_to_condition); got "
+                f"{cond.shape} — a plain mel would silently read band "
+                f"{cfg.in_channels - 1} as f0"
+            )
         mel, f0 = cond[..., : cfg.in_channels], cond[..., cfg.in_channels]
         B, T = f0.shape
 

@@ -40,6 +40,10 @@ import jax.numpy as jnp
 Impl = Literal["auto", "xla", "pallas"]
 
 _DEFAULT_IMPL: Impl = os.environ.get("FASTVOCODER_BASIS_DECODE", "auto")  # type: ignore
+if _DEFAULT_IMPL not in ("auto", "xla", "pallas"):
+    raise ValueError(
+        f"FASTVOCODER_BASIS_DECODE={_DEFAULT_IMPL!r}: want auto|xla|pallas"
+    )
 
 # "auto" crossover: below this many weight rows (B * frames) the Pallas
 # kernel wins (measured above); beyond it XLA's batched einsum does

@@ -250,6 +250,7 @@ def discriminator_key_map(
     from fastvocoder_tpu.hparams import DISC
 
     cfg = disc_cfg if disc_cfg is not None else DISC
+    use_mpd = use_mpd or cfg.use_mpd
     entries: List[MapEntry] = []
     for s in range(cfg.msd_scales):
         entries += _msd_scale_entries(
