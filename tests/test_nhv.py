@@ -199,3 +199,34 @@ def test_nhv_cli_train_end_to_end(tmp_path, monkeypatch, rng):
     assert "checkpoint_2.pth.tar" in os.listdir(
         tmp_path / "checkpoint" / run_dirs[0]
     )
+
+
+def test_nhv_synthesizer_driver(tmp_path, rng):
+    """The synthesize/evaluation Synthesizer loads NHV checkpoints (native
+    layout, no weight-norm fusing) and rejects f0-less conditioning."""
+    import yaml
+
+    from fastvocoder_tpu.bin.synthesize import Synthesizer
+    from fastvocoder_tpu.train.checkpoint import save_checkpoint
+
+    cfg = ModelConfig(model_name="nhv", arch=TINY_NHV, lambda_stft=1.0)
+    gen = build_generator(cfg)
+    cond = _cond(rng, 12)
+    params = jax.jit(gen.init)(jax.random.PRNGKey(0), cond)["params"]
+    ckpt = str(tmp_path / "nhv.pth.tar")
+    save_checkpoint(ckpt, cfg, params, step=1)
+
+    conf = tmp_path / "nhv.yaml"
+    conf.write_text(yaml.safe_dump({
+        "in_channels": 80, "channels": TINY_NHV.channels,
+        "n_layers": TINY_NHV.n_layers, "kernel_size": TINY_NHV.kernel_size,
+        "ccep_size": TINY_NHV.ccep_size, "fir_taps": TINY_NHV.fir_taps,
+        "fft_size": TINY_NHV.fft_size, "win_length": TINY_NHV.win_length,
+        "hop_size": 240, "sample_rate": 24000,
+    }))
+    s = Synthesizer(ckpt, str(conf), "nhv")
+    est, est_remove, bias = s.synthesize(cond[0])
+    assert est.shape == (12 * 240,) and np.isfinite(est).all()
+
+    with pytest.raises(ValueError, match="mel \\+ f0"):
+        s.synthesize(cond[0, :, :80])  # plain mel without the f0 channel
