@@ -42,6 +42,27 @@ def load_data(audio_index_path, mel_index_path, index_list):
     return audio_list, mel_list
 
 
+def mel_cepstral_distortion(
+    est: np.ndarray, ref: np.ndarray, hp=HP, n_mcc: int = 13
+) -> float:
+    """MCD (dB): mean Euclidean distance between mel-cepstral coefficient
+    vectors (DCT-II of the log-mel spectrogram, c1..c_{n_mcc}, c0/energy
+    excluded), scaled by 10*sqrt(2)/ln(10) — the standard vocoder quality
+    metric the reference never computes."""
+    from scipy.fftpack import dct
+
+    from fastvocoder_tpu.dsp import audio
+
+    def mcc(wav):
+        mel = audio.melspectrogram(wav, hp).T  # (T, 80), normalized dB
+        return dct(mel, type=2, axis=1, norm="ortho")[:, 1 : n_mcc + 1]
+
+    a, b = mcc(est), mcc(ref)
+    t = min(a.shape[0], b.shape[0])
+    dist = np.sqrt(np.sum((a[:t] - b[:t]) ** 2, axis=1))
+    return float((10.0 * np.sqrt(2.0) / np.log(10.0)) * dist.mean())
+
+
 def evaluate(synthesizer: Synthesizer, audio_list, mel_list, hp=HP):
     """Returns a list of per-item metric dicts."""
     import jax
@@ -62,6 +83,7 @@ def evaluate(synthesizer: Synthesizer, audio_list, mel_list, hp=HP):
                 "spectral_convergence": float(sc),
                 "log_mag_l1": float(mag),
                 "wav_l1": float(np.mean(np.abs(est_c - wav_c))),
+                "mcd_db": mel_cepstral_distortion(est_c, wav_c, hp),
                 "frames": int(mel.shape[0]),
             }
         )
@@ -94,7 +116,9 @@ def run_evaluation(argv=None):
     results = evaluate(synthesizer, audio_list, mel_list)
     summary = {
         k: float(np.mean([r[k] for r in results]))
-        for k in ("mr_stft", "spectral_convergence", "log_mag_l1", "wav_l1")
+        for k in (
+            "mr_stft", "spectral_convergence", "log_mag_l1", "wav_l1", "mcd_db",
+        )
     }
     for i, r in enumerate(results):
         print(f"item {i}: " + " ".join(f"{k}={v:.4f}" for k, v in r.items()))
