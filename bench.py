@@ -38,6 +38,8 @@ REFERENCE_MEL = "/root/reference/resource/test.mel.npy"
 MODELS = [
     ("basis-melgan", "conf/basis-melgan/light.yaml", "basis_melgan_rtf", 0.0498),
     ("hifigan", "conf/hifigan/light.yaml", "hifigan_light_rtf", 0.2424),
+    # reference lists hifigan-large RTF as NaN (README.md:23) — measured here
+    ("hifigan", "conf/hifigan/large.yaml", "hifigan_large_rtf", None),
     (
         "multiband-hifigan",
         "conf/multiband-hifigan/light.yaml",
@@ -194,7 +196,7 @@ def main():
             xrt = bench_batched(fwd, params, mels)
             extras["basis_melgan_batched_xrealtime"] = round(xrt, 1)
             print(f"basis_melgan_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
-        if model_name == "hifigan":
+        if key == "hifigan_light_rtf":
             xrt = bench_batched(fwd, params, mels)
             extras["hifigan_light_batched_xrealtime"] = round(xrt, 1)
             print(f"hifigan_light_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
