@@ -119,8 +119,12 @@ class NHVGenerator(nn.Module):
         window = jnp.hanning(win).astype(frames.dtype)
         spec = jnp.fft.rfft(frames * window, nfft, axis=-1)  # (B, T, nfft/2+1)
 
-        # homomorphic filter response: H = exp(DFT(ccep)) on the rfft grid
-        H = jnp.exp(jnp.fft.rfft(ccep, nfft, axis=-1))
+        # homomorphic filter response: H = exp(DFT(ccep)) on the rfft grid;
+        # the log-magnitude (real part) is clamped so a bad training step
+        # cannot overflow exp (|H| <= e^8 ~ 54 dB of gain)
+        logH = jnp.fft.rfft(ccep, nfft, axis=-1)
+        logH = jax.lax.complex(jnp.clip(logH.real, -30.0, 8.0), logH.imag)
+        H = jnp.exp(logH)
         y = jnp.fft.irfft(spec * H, nfft, axis=-1)  # (B, T, nfft)
         out = overlap_and_add(y, hop)  # (B, (T-1)*hop + nfft)
         return out[:, pad : pad + n]
