@@ -64,16 +64,7 @@ def _single_process_reference(init_path: str) -> tuple:
     return float(jax.device_get(metrics["stft_loss"])), leaves
 
 
-def test_two_process_dp_matches_single_process(tmp_path):
-    assert len(jax.devices()) == 8
-    port = _free_port()
-    out = str(tmp_path / "proc0.npz")
-
-    init_path = str(tmp_path / "init.npz")
-    # single-process reference first — it also exports the initial state the
-    # children start from
-    want_loss, want_leaves = _single_process_reference(init_path)
-
+def _spawn_children(port: int, out: str, init_path: str):
     procs = []
     for pid in range(2):
         env = dict(os.environ)
@@ -97,11 +88,28 @@ def test_two_process_dp_matches_single_process(tmp_path):
                 stderr=subprocess.STDOUT,
             )
         )
-
     outputs = []
     for p in procs:
         stdout, _ = p.communicate(timeout=420)
         outputs.append(stdout.decode())
+    return procs, outputs
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    assert len(jax.devices()) == 8
+    out = str(tmp_path / "proc0.npz")
+
+    init_path = str(tmp_path / "init.npz")
+    # single-process reference first — it also exports the initial state the
+    # children start from
+    want_loss, want_leaves = _single_process_reference(init_path)
+
+    # one retry with a fresh port: the free port can be stolen between
+    # _free_port() and the coordinator's bind
+    for attempt in range(2):
+        procs, outputs = _spawn_children(_free_port(), out, init_path)
+        if all(p.returncode == 0 for p in procs):
+            break
     for p, o in zip(procs, outputs):
         assert p.returncode == 0, o
 
