@@ -136,7 +136,7 @@ def bench_rtf(fwd, params, mels: np.ndarray) -> float:
 
     duration = mels.shape[0] * mels.shape[1] * HOP / SAMPLE_RATE
     best = float("inf")
-    for _ in range(2):  # best of 2: shed remote-link warmup stragglers
+    for _ in range(3):  # best of 3: shed remote-link warmup stragglers
         start = time.perf_counter()
         acc = jnp.float32(0)
         for _ in range(REPEATS):
