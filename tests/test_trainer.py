@@ -157,3 +157,54 @@ def test_bf16_mixed_precision_step(rng):
     state, metrics = jax.jit(trainer.gan_step)(state, mel, wav)
     for k, v in metrics.items():
         assert np.asarray(v).dtype == np.float32 and np.isfinite(float(v)), k
+
+
+def test_checkpoint_resume_continues_identically(rng, tmp_path):
+    """save -> load -> continue == uninterrupted training: the torch-layout
+    round trip of params (incl. weight-norm recombination) and the native
+    optimizer-state save must both be lossless."""
+    from fastvocoder_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = tiny_melgan_cfg()
+    trainer = make_trainer(cfg, hp=TINY_HP, disc_cfg=TINY_DISC)
+    step = jax.jit(trainer.pre_adv_step)
+    batches = [make_batch(np.random.default_rng(k)) for k in range(4)]
+
+    # uninterrupted: 4 steps
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    for mel, wav in batches:
+        state, _ = step(state, mel, wav)
+    want = jax.device_get(state.gen_params)
+
+    # interrupted: 2 steps -> save -> load -> 2 more steps
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    for mel, wav in batches[:2]:
+        state, _ = step(state, mel, wav)
+    path = str(tmp_path / "ckpt.pth.tar")
+    save_checkpoint(
+        path, cfg, state.gen_params, state.disc_params,
+        state.gen_opt_state, state.disc_opt_state,
+        step=2, disc_cfg=TINY_DISC,
+    )
+
+    ckpt = load_checkpoint(path, cfg, disc_cfg=TINY_DISC)
+    resumed = trainer.init_state(jax.random.PRNGKey(1))  # different seed
+    resumed = resumed.replace(
+        step=jnp.asarray(2, jnp.int32),
+        gen_params=ckpt["gen_params"],
+        disc_params=ckpt["disc_params"],
+        gen_opt_state=ckpt["optimizer"],
+        disc_opt_state=ckpt["discriminator_optimizer"],
+    )
+    for mel, wav in batches[2:]:
+        resumed, _ = step(resumed, mel, wav)
+    got = jax.device_get(resumed.gen_params)
+
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(want)[0],
+        jax.tree_util.tree_flatten_with_path(got)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, err_msg=str(pa)
+        )
