@@ -39,3 +39,27 @@ def test_prefetch_propagates_errors(rng):
     except RuntimeError as e:
         raised = "boom" in str(e)
     assert raised
+
+
+def test_async_checkpoint_writer_propagates_errors(tmp_path):
+    """wait() must surface a failed background save, not swallow it."""
+    import pytest
+
+    from fastvocoder_tpu.train.checkpoint import AsyncCheckpointWriter
+
+    w = AsyncCheckpointWriter()
+    # invalid target directory -> the worker's save fails
+    w.submit(str(tmp_path / "no_such_dir" / "x.pth.tar"), None, {})
+    with pytest.raises(Exception):
+        w.wait()
+
+
+def test_cli_entry_dispatch():
+    import pytest
+
+    from fastvocoder_tpu.bin.cli import main
+
+    assert main([]) == 0
+    assert main(["--help"]) == 0
+    with pytest.raises(SystemExit):
+        main(["nonsense"])
