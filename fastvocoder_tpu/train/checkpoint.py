@@ -514,12 +514,12 @@ def save_checkpoint(
     host = lambda tree: jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
     if _has_torch_layout(cfg):
         model_entry = {
-            k: torch.from_numpy(np.asarray(v))
+            k: torch.from_numpy(np.array(v))
             for k, v in flax_to_torch(host(gen_params), generator_key_map(cfg)).items()
         }
     else:  # native flat layout (no reference state_dict exists to mirror)
         model_entry = {
-            k: torch.from_numpy(v)
+            k: torch.from_numpy(np.array(v))
             for k, v in _flatten_native(host(gen_params)).items()
         }
     out: dict = {
@@ -528,13 +528,13 @@ def save_checkpoint(
     }
     if disc_params is not None:
         d = {
-            k: torch.from_numpy(np.asarray(v))
+            k: torch.from_numpy(np.array(v))
             for k, v in flax_to_torch(
                 host(disc_params), discriminator_key_map(disc_cfg=disc_cfg)
             ).items()
         }
         for k, v in discriminator_buffers().items():
-            d[k] = torch.from_numpy(np.asarray(v))
+            d[k] = torch.from_numpy(np.array(v))
         out["discriminator"] = d
     if gen_opt_state is not None:
         out["optimizer"] = host(gen_opt_state)
@@ -584,7 +584,7 @@ def save_published(path: str, cfg, gen_params, pattern: np.ndarray):
     torch.save(
         {
             "model": {
-                k: torch.from_numpy(np.asarray(v))
+                k: torch.from_numpy(np.array(v))
                 for k, v in flax_to_torch(host, generator_key_map(cfg)).items()
             },
             "pattern": np.asarray(pattern),
