@@ -25,8 +25,10 @@ from flax import linen as nn
 
 from fastvocoder_tpu.ops.conv import (
     conv1d,
+    conv1d_phase_packed,
     conv_transpose1d,
     constant_pad1d,
+    packed_conv_phases,
     reflect_pad1d,
 )
 
@@ -90,6 +92,15 @@ class WNConv1d(nn.Module):
             x = x.astype(self.compute_dtype)
             kernel = kernel.astype(self.compute_dtype)
             bias = bias.astype(self.compute_dtype) if bias is not None else None
+        phases = packed_conv_phases(
+            self.stride, self.groups, self.kernel_size, self.dilation,
+            self.features, x.shape[1],
+        )
+        if phases:
+            return conv1d_phase_packed(
+                x, kernel, bias,
+                padding=self.padding, dilation=self.dilation, phases=phases,
+            )
         return conv1d(
             x,
             kernel,

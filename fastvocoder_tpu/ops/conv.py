@@ -100,6 +100,94 @@ def upconv_polyphase(
     return y[:, :t_out]
 
 
+def conv1d_phase_packed(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    padding: int = 0,
+    dilation: int = 1,
+    phases: int = 8,
+) -> jnp.ndarray:
+    """Stride-1 conv with `phases` consecutive outputs packed into channels.
+
+    Mathematically identical to `conv1d(x, kernel, stride=1, padding,
+    dilation)` (same taps per output sample; only the float summation
+    grouping differs).  Why: XLA lowers an NWC conv as an implicit GEMM with
+    N = Cout MXU lanes — at the small widths of the late vocoder stages
+    (Cout = 16/32) that fills 12.5–25% of the 128-lane MXU.  Packing
+    s = phases output samples into the channel dim raises N to s*Cout at a
+    FLOP multiplier of ((K-1)*dilation + s)/K (the packed weight is
+    block-Toeplitz with zeros), a net win whenever s*K >> (K-1)*dilation + s.
+
+    x (B, T, Cin); kernel (K, Cin, Cout).  Output (B, T_out, Cout) with
+    T_out = T + 2*padding - (K-1)*dilation, exactly as conv1d.
+    """
+    import numpy as np
+
+    K, Cin, Cout = kernel.shape
+    B, T = x.shape[0], x.shape[1]
+    s = phases
+    t_out = T + 2 * padding - (K - 1) * dilation
+    assert t_out > 0, (T, padding, K, dilation)
+    Q = -(-t_out // s)  # windows of the packed stride-s conv
+
+    # packed weight W2[j, ci, r*Cout + co] = kernel[k, ci, co] at j = r + k*d
+    span = (K - 1) * dilation + s
+    j = np.arange(span)[:, None]
+    r = np.arange(s)[None, :]
+    diff = j - r
+    valid = (diff % dilation == 0) & (diff >= 0) & (diff < K * dilation)
+    kk = np.clip(diff // dilation, 0, K - 1)  # (span, s)
+    w2 = kernel[kk] * jnp.asarray(valid, kernel.dtype)[..., None, None]
+    w2 = jnp.transpose(w2, (0, 2, 1, 3)).reshape(span, Cin, s * Cout)
+
+    # right-pad so the last (possibly partial) phase group has a full window;
+    # the extra zero rows only feed outputs >= t_out, which are trimmed
+    extra = Q * s + (K - 1) * dilation - (T + 2 * padding)
+    y = lax.conv_general_dilated(
+        x,
+        w2,
+        window_strides=(s,),
+        padding=[(padding, padding + extra)],
+        dimension_numbers=_DN,
+    )  # (B, Q, s*Cout); channel index = phase * Cout + cout
+    y = y.reshape(B, Q, s, Cout).reshape(B, Q * s, Cout)[:, :t_out]
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def packed_conv_phases(
+    stride: int,
+    groups: int,
+    kernel_size: int,
+    dilation: int,
+    cout: int,
+    t: int,
+) -> int:
+    """Phase count for routing a conv through `conv1d_phase_packed`
+    (0 = keep the plain lowering).
+
+    Default OFF: measured whole-model on v5e (hifigan-light, batch 32x585
+    frames) packing is 1.8x SLOWER (249 ms vs 139 ms) despite isolated convs
+    being flat-to-1.4x-faster — the inter-conv (B,Q,s*C)->(B,T,C) reshapes
+    break XLA's elementwise/residual fusion and add full-tensor passes, and
+    the late stages are bandwidth-bound (~287 GB/s effective floor), not
+    MXU-lane-bound as the packing model assumed.  Set
+    FASTVOCODER_PACKED_CONV=1 to route by shape (for experiments).
+    """
+    import os
+
+    mode = os.environ.get("FASTVOCODER_PACKED_CONV", "0")
+    if mode != "1" or stride != 1 or groups != 1 or cout >= 128 or t < 4096:
+        return 0
+    s = 128 // cout
+    # modeled net win = lane-utilization gain (s) over the packed FLOP
+    # multiplier — increasing in s, so only the max lane-filling s is tried
+    net = s * kernel_size / ((kernel_size - 1) * dilation + s)
+    return s if s > 1 and net >= 1.5 else 0
+
+
 def conv_transpose1d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,

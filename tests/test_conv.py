@@ -165,3 +165,40 @@ def test_upconv_polyphase_equals_lhs_dilated(rng):
             np.asarray(got), np.asarray(full), rtol=1e-5, atol=1e-5,
             err_msg=f"k={k} s={s} pad_l={pad_l} T={T} t_out={t_out}",
         )
+
+
+def test_conv1d_phase_packed_equals_plain(rng):
+    """Phase-packed stride-1 conv computes the exact same taps per output
+    sample as the plain lowering (float reassociation only)."""
+    from fastvocoder_tpu.ops.conv import conv1d, conv1d_phase_packed
+
+    r = np.random.default_rng(11)
+    cases = [
+        (3, 1, 16, 16, 96, 8),    # lane-filling s*Cout = 128
+        (3, 5, 16, 16, 100, 8),   # dilated
+        (11, 1, 32, 32, 77, 4),   # T not a multiple of s
+        (7, 3, 32, 16, 256, 8),   # Cin != Cout
+        (5, 1, 8, 24, 50, 5),     # s*Cout not 128-aligned
+        (1, 1, 16, 16, 64, 8),    # pointwise
+    ]
+    for K, d, cin, cout, T, s in cases:
+        x = jnp.asarray(r.standard_normal((2, T, cin)).astype(np.float32))
+        w = jnp.asarray(r.standard_normal((K, cin, cout)).astype(np.float32))
+        b = jnp.asarray(r.standard_normal((cout,)).astype(np.float32))
+        for p in {(K - 1) * d // 2, 0} if (K - 1) * d // 2 < T else {0}:
+            if T + 2 * p - (K - 1) * d <= 0:
+                continue
+            ref = conv1d(x, w, b, padding=p, dilation=d)
+            got = conv1d_phase_packed(x, w, b, padding=p, dilation=d, phases=s)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5,
+                err_msg=f"K={K} d={d} cin={cin} cout={cout} T={T} s={s} p={p}",
+            )
+
+
+def test_packed_conv_policy_default_off():
+    """Whole-model measurement showed packing loses to XLA's fusion (see
+    packed_conv_phases docstring); the default policy must not route."""
+    from fastvocoder_tpu.ops.conv import packed_conv_phases
+
+    assert packed_conv_phases(1, 1, 11, 1, 16, 140448) == 0
