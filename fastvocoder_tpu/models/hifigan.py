@@ -9,8 +9,10 @@ Channel width halves per stage: upsample_initial_channel // 2**(i+1).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -24,6 +26,28 @@ from fastvocoder_tpu.models.layers import (
     WNConvTranspose1d,
     leaky_relu,
 )
+
+
+def _fused_mrf_mode() -> str:
+    """FASTVOCODER_FUSED_MRF: "auto" (default; Pallas kernel on TPU),
+    "1" (force compiled kernel), "interpret" (force interpreter — CPU
+    tests), "0" (off)."""
+    return os.environ.get("FASTVOCODER_FUSED_MRF", "auto")
+
+
+def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T) -> bool:
+    """Fuse an MRF stage (ops/fused_mrf.py) when it is the inference-form
+    graph (weight_norm=False — Pallas has no autodiff; training keeps the
+    standard path), the stage is narrow enough to block into 128 lanes, and
+    the backend can run the kernel."""
+    mode = _fused_mrf_mode()
+    if mode == "0" or weight_norm or cfg.resblock_type != "1":
+        return False
+    if ch not in (16, 32) or not isinstance(T, int) or T % (128 // ch) != 0:
+        return False
+    if mode == "auto":
+        return jax.default_backend() == "tpu"
+    return True
 
 
 class HiFiGANGenerator(nn.Module):
@@ -68,18 +92,46 @@ class HiFiGANGenerator(nn.Module):
                     ch, upsample_rate=u, kernel_size=k, stride=1,
                     padding=k // 2, name=f"up_{i}", **kw,
                 )(x)
-            acc = None
-            for j, (rk, rd) in enumerate(
-                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
-            ):
-                out = resblock(
-                    channels=ch, kernel_size=rk, dilations=rd,
-                    use_bias=cfg.bias, weight_norm=self.weight_norm,
-                    compute_dtype=self.compute_dtype,
-                    name=f"resblock_{i}_{j}",
-                )(x)
-                acc = out if acc is None else acc + out
-            x = acc / num_kernels
+            if _use_fused_mrf(cfg, self.weight_norm, ch, x.shape[1]):
+                from fastvocoder_tpu.ops.fused_mrf import fused_mrf_stage
+
+                rbs = [
+                    ResBlock1(
+                        channels=ch, kernel_size=rk, dilations=rd,
+                        use_bias=cfg.bias, weight_norm=self.weight_norm,
+                        compute_dtype=self.compute_dtype,
+                        name=f"resblock_{i}_{j}",
+                    ).weights(ch)
+                    for j, (rk, rd) in enumerate(
+                        zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+                    )
+                ]
+                if not cfg.bias:
+                    zero = jnp.zeros((ch,), x.dtype)
+                    rbs = [
+                        [(k1, b1 if b1 is not None else zero, d,
+                          k2, b2 if b2 is not None else zero)
+                         for k1, b1, d, k2, b2 in pairs]
+                        for pairs in rbs
+                    ]
+                if self.compute_dtype is not None:
+                    x = x.astype(self.compute_dtype)
+                x = fused_mrf_stage(
+                    x, rbs, interpret=_fused_mrf_mode() == "interpret"
+                )
+            else:
+                acc = None
+                for j, (rk, rd) in enumerate(
+                    zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+                ):
+                    out = resblock(
+                        channels=ch, kernel_size=rk, dilations=rd,
+                        use_bias=cfg.bias, weight_norm=self.weight_norm,
+                        compute_dtype=self.compute_dtype,
+                        name=f"resblock_{i}_{j}",
+                    )(x)
+                    acc = out if acc is None else acc + out
+                x = acc / num_kernels
 
         x = leaky_relu(x)  # default slope 0.01 (reference hifigan.py:104)
         x = WNConv1d(cfg.out_bands, 7, padding=3, name="conv_post", **kw)(x)

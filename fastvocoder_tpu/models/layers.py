@@ -54,6 +54,34 @@ def _l2norm(v: jnp.ndarray, axes: Tuple[int, ...]) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
 
 
+def _apply_conv1d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+    compute_dtype: Any = None,
+) -> jnp.ndarray:
+    """Shared conv application: compute-dtype cast + lowering policy."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+        bias = bias.astype(compute_dtype) if bias is not None else None
+    phases = packed_conv_phases(
+        stride, groups, kernel.shape[0], dilation, kernel.shape[-1], x.shape[1]
+    )
+    if phases:
+        return conv1d_phase_packed(
+            x, kernel, bias, padding=padding, dilation=dilation, phases=phases
+        )
+    return conv1d(
+        x, kernel, bias,
+        stride=stride, padding=padding, dilation=dilation, groups=groups,
+    )
+
+
 class WNConv1d(nn.Module):
     """Conv1d with optional weight-norm reparameterization.
 
@@ -73,8 +101,10 @@ class WNConv1d(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[-1]
+    def weights(self, cin: int):
+        """Create params and return the effective (kernel, bias) —
+        weight-norm applied.  Used by `__call__` and by fused stage kernels
+        that consume raw weights (`ops/fused_mrf.py`)."""
         fan_in = (cin // self.groups) * self.kernel_size
         kshape = (self.kernel_size, cin // self.groups, self.features)
         kernel = self.param("kernel", torch_conv_kernel_init(fan_in), kshape)
@@ -88,27 +118,14 @@ class WNConv1d(nn.Module):
             if self.use_bias
             else None
         )
-        if self.compute_dtype is not None:
-            x = x.astype(self.compute_dtype)
-            kernel = kernel.astype(self.compute_dtype)
-            bias = bias.astype(self.compute_dtype) if bias is not None else None
-        phases = packed_conv_phases(
-            self.stride, self.groups, self.kernel_size, self.dilation,
-            self.features, x.shape[1],
-        )
-        if phases:
-            return conv1d_phase_packed(
-                x, kernel, bias,
-                padding=self.padding, dilation=self.dilation, phases=phases,
-            )
-        return conv1d(
-            x,
-            kernel,
-            bias,
-            stride=self.stride,
-            padding=self.padding,
-            dilation=self.dilation,
-            groups=self.groups,
+        return kernel, bias
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel, bias = self.weights(x.shape[-1])
+        return _apply_conv1d(
+            x, kernel, bias,
+            stride=self.stride, padding=self.padding, dilation=self.dilation,
+            groups=self.groups, compute_dtype=self.compute_dtype,
         )
 
 
@@ -246,23 +263,40 @@ class ResBlock1(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def weights(self, cin: int):
+        """Create this block's params; return [(k1, b1, dilation, k2, b2)]
+        effective weights per (dilated conv, dilation-1 conv) pair — the
+        form `ops/fused_mrf.py::fused_mrf_stage` consumes."""
         kw = dict(
             use_bias=self.use_bias,
             weight_norm=self.weight_norm,
             compute_dtype=self.compute_dtype,
         )
+        out = []
         for i, d in enumerate(self.dilations):
-            h = leaky_relu(x, LRELU_SLOPE)
-            h = WNConv1d(
+            k1, b1 = WNConv1d(
                 self.channels, self.kernel_size, dilation=d,
                 padding=(self.kernel_size * d - d) // 2, name=f"conv1_{i}", **kw,
-            )(h)
-            h = leaky_relu(h, LRELU_SLOPE)
-            h = WNConv1d(
+            ).weights(cin)
+            k2, b2 = WNConv1d(
                 self.channels, self.kernel_size, dilation=1,
                 padding=(self.kernel_size - 1) // 2, name=f"conv2_{i}", **kw,
-            )(h)
+            ).weights(self.channels)
+            out.append((k1, b1, d, k2, b2))
+        return out
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for k1, b1, d, k2, b2 in self.weights(x.shape[-1]):
+            h = leaky_relu(x, LRELU_SLOPE)
+            h = _apply_conv1d(
+                h, k1, b1, padding=(self.kernel_size * d - d) // 2,
+                dilation=d, compute_dtype=self.compute_dtype,
+            )
+            h = leaky_relu(h, LRELU_SLOPE)
+            h = _apply_conv1d(
+                h, k2, b2, padding=(self.kernel_size - 1) // 2,
+                dilation=1, compute_dtype=self.compute_dtype,
+            )
             x = x + h
         return x
 

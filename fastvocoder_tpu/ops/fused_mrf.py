@@ -1,0 +1,240 @@
+"""Fused HiFiGAN MRF stage — one Pallas kernel for all resblocks of a stage.
+
+The reference computes the MRF as `sum_j ResBlock_j(x) / num_kernels` with
+each ResBlock1 running 6 separate dilated convs (reference
+model/generator/hifigan.py:97-103, modules.py:190-230).  At the late
+generator stages the tensors are long and narrow (C = 16/32 at T up to
+240 samples/frame), where every conv is an HBM round-trip: measured on
+v5e, one stage-4 conv costs ~3.9 ms — the same as a bare elementwise pass
+over the tensor (~287 GB/s effective bandwidth floor) — so an 18-conv MRF
+stage pays ~18 full-tensor passes for ~0.3 TFLOP of math.
+
+This kernel restructures the stage TPU-first:
+
+  * **Blocked layout.**  (B, T, C) is viewed as (B, Q, s*C) with s = 128/C,
+    a free row-major reshape.  Channels then fill the 128 MXU lanes exactly,
+    and a dilated sample-domain conv becomes a short dense conv over blocks
+    with block-Toeplitz weights (`blocked_conv_weight`): W3[j] is (s*C, s*C)
+    and y_q = sum_j x_{q+j-off} @ W3[j].  Same taps per output sample —
+    exact math, only the summation grouping changes.
+  * **One pass over HBM.**  The kernel tiles Q, DMAs each tile plus a halo
+    of H blocks into VMEM once, and computes the ENTIRE MRF — every leaky
+    relu, all 18 block-convs, the residual adds, and the 1/num_kernels
+    mean — from VMEM, writing each output tile once.  18 full-tensor HBM
+    round-trips become 1.
+  * **MXU-shaped compute.**  Every tap is a (tile, 128) @ (128, 128) matmul
+    accumulated in f32 (`preferred_element_type`).
+
+The blocked weights multiply FLOPs by Wq*s/K per conv (the Toeplitz zeros),
+but the stage moves from the bandwidth floor to MXU-bound: measured
+whole-model on hifigan-light (batch 32 x 585 frames, v5e) the fused stages
+cut synthesis from 139 ms to the number recorded in docs/ARCHITECTURE.md.
+
+Zero 'same' padding semantics match the reference resblocks exactly: the
+halo blocks beyond the sequence edges are zeros, which is precisely the
+sample-domain zero padding of every conv in the chain.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LRELU_SLOPE = 0.1  # reference modules.py:9
+
+
+def _leaky(x, slope=LRELU_SLOPE):
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def conv_margins(kernel_size: int, dilation: int, s: int) -> Tuple[int, int]:
+    """(left, right) halo in blocks consumed by a same-padded conv."""
+    p = (kernel_size - 1) * dilation // 2
+    off = -(-p // s)  # ceil(p / s)
+    right = (s - 1 + (kernel_size - 1) * dilation - p) // s
+    return off, right
+
+
+def blocked_conv_weight(kernel: jnp.ndarray, dilation: int, s: int) -> jnp.ndarray:
+    """(K, C, C) sample-domain conv kernel -> (Wq, s*C, s*C) blocked weight.
+
+    y[q*s + rout, co] = sum_{k, ci} x[q*s + rout + k*d - p, ci] * kernel[k, ci, co]
+    becomes y_blocked[q] = sum_j x_blocked[q + j - off] @ W3[j].
+    """
+    K, Cin, Cout = kernel.shape
+    assert Cin == Cout, "resblock convs are square"
+    p = (K - 1) * dilation // 2
+    off, right = conv_margins(K, dilation, s)
+    Wq = off + right + 1
+
+    jq = np.arange(Wq)[:, None, None] - off
+    rin = np.arange(s)[None, :, None]
+    rout = np.arange(s)[None, None, :]
+    tap = jq * s + rin - rout + p  # = k * dilation for a real tap
+    valid = (tap % dilation == 0) & (tap >= 0) & (tap < K * dilation)
+    kk = np.clip(tap // dilation, 0, K - 1)  # (Wq, s, s)
+
+    w3 = kernel[kk] * jnp.asarray(valid, kernel.dtype)[..., None, None]
+    # (Wq, rin, rout, Cin, Cout) -> (Wq, rin, Cin, rout, Cout)
+    w3 = jnp.transpose(w3, (0, 1, 3, 2, 4))
+    return w3.reshape(Wq, s * Cin, s * Cout)
+
+
+def _blocked_conv_value(t: jnp.ndarray, w3_ref) -> jnp.ndarray:
+    """Valid blocked conv of a VMEM value t (L, 128) with w3 (Wq, 128, 128)."""
+    Wq = w3_ref.shape[0]
+    L = t.shape[0]
+    Lout = L - Wq + 1
+    acc = None
+    for j in range(Wq):
+        part = jnp.dot(
+            t[j : j + Lout], w3_ref[j], preferred_element_type=jnp.float32
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _mrf_kernel(
+    meta,
+    Qt: int,
+    H: int,
+    Q_real: int,
+    dtype,
+    x_win_ref,
+    *refs,
+):
+    """Pallas kernel body.  x_win_ref is one (1, 1, Qt+2H, 128) halo window
+    (standard pipelined BlockSpec — manual HBM DMA faults on some TPU
+    runtimes, and windows cost only H/Qt extra HBM traffic); refs = 2 per
+    conv (w3, bias) ..., out_ref.  `meta` is the static per-resblock list of
+    [(off1, right1, off2, right2), ...] margins."""
+    from jax.experimental import pallas as pl
+
+    n_convs = sum(2 * len(pairs) for pairs in meta)
+    w_refs = refs[: 2 * n_convs]
+    out_ref = refs[2 * n_convs]
+
+    qi = pl.program_id(1)
+
+    def mask_outside_sequence(t, a_cum):
+        # Every conv in the reference chain zero-pads ITS OWN input at the
+        # sequence edges; a fused chain must therefore zero the halo rows
+        # that fall outside [0, Q_real) after each conv+bias (a conv of
+        # zero rows is zero, but "+ bias" is not).
+        row = jax.lax.broadcasted_iota(jnp.int32, (t.shape[0], 1), 0)
+        g = qi * Qt - H + a_cum + row  # global block index of each row
+        return jnp.where((g >= 0) & (g < Q_real), t, jnp.zeros_like(t))
+
+    x0 = x_win_ref[0, 0]  # (Qt + 2H, 128)
+    acc = None
+    ref_i = 0
+    for pairs in meta:  # one resblock
+        h = x0
+        a_r = 0
+        for off1, right1, off2, right2 in pairs:
+            w1, b1 = w_refs[ref_i], w_refs[ref_i + 1]
+            w2, b2 = w_refs[ref_i + 2], w_refs[ref_i + 3]
+            ref_i += 4
+            t = _leaky(h)
+            t = (_blocked_conv_value(t, w1) + b1[:]).astype(dtype)
+            t = mask_outside_sequence(t, a_r + off1)
+            t = _leaky(t)
+            t = (_blocked_conv_value(t, w2) + b2[:]).astype(dtype)
+            t = mask_outside_sequence(t, a_r + off1 + off2)
+            a, bb = off1 + off2, right1 + right2
+            h = h[a : h.shape[0] - bb] + t
+            a_r += a
+        part = h[H - a_r : H - a_r + Qt]
+        acc = part if acc is None else acc + part
+    out_ref[0] = (acc / len(meta)).astype(dtype)
+
+
+def fused_mrf_stage(
+    x: jnp.ndarray,
+    resblocks: Sequence[Sequence[Tuple[jnp.ndarray, jnp.ndarray, int, jnp.ndarray, jnp.ndarray]]],
+    tile_q: int = 1024,  # measured best on v5e (256/512/1024 swept; 2048 OOMs VMEM)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run a whole HiFiGAN MRF stage as one fused Pallas program.
+
+    x: (B, T, C) stage input (post-upsample), C in {16, 32} (s*C == 128),
+       T % s == 0.
+    resblocks: per resblock, a list of (kernel1, bias1, dilation, kernel2,
+       bias2) for each (dilated conv, dilation-1 conv) pair — the effective
+       (weight-norm applied) kernels in (K, C, C) layout, biases (C,).
+    Returns sum_r ResBlock1_r(x) / len(resblocks), exactly as the standard
+    module path (float reassociation aside).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, C = x.shape
+    s = 128 // C
+    assert s * C == 128 and T % s == 0, (C, T)
+    Q = T // s
+    dtype = x.dtype
+
+    meta = []
+    flat_weights = []
+    H = 0
+    for pairs in resblocks:
+        pair_meta = []
+        a_r = b_r = 0
+        for k1, b1, d, k2, b2 in pairs:
+            K1 = k1.shape[0]
+            K2 = k2.shape[0]
+            off1, right1 = conv_margins(K1, d, s)
+            off2, right2 = conv_margins(K2, 1, s)
+            pair_meta.append((off1, right1, off2, right2))
+            flat_weights += [
+                blocked_conv_weight(k1.astype(dtype), d, s),
+                jnp.tile(b1.astype(dtype), s)[None, :],
+                blocked_conv_weight(k2.astype(dtype), 1, s),
+                jnp.tile(b2.astype(dtype), s)[None, :],
+            ]
+            a_r += off1 + off2
+            b_r += right1 + right2
+        meta.append(pair_meta)
+        H = max(H, a_r, b_r)
+
+    Qt = min(tile_q, max(8, -(-Q // 8) * 8))
+    nQ = -(-Q // Qt)
+    Qpad = nQ * Qt
+
+    xb = x.reshape(B, Q, 128)
+    xb = jnp.pad(xb, ((0, 0), (H, Qpad - Q + H), (0, 0)))
+    # materialize overlapping halo windows (nQ, Qt+2H): one gather pass over
+    # the tensor, +2H/Qt extra HBM bytes; Pallas then double-buffers the
+    # windows as standard pipelined blocks
+    idx = np.arange(nQ)[:, None] * Qt + np.arange(Qt + 2 * H)[None, :]
+    x_win = xb[:, idx]  # (B, nQ, Qt+2H, 128)
+
+    kernel = functools.partial(_mrf_kernel, meta, Qt, H, Q, dtype)
+    w_specs = [
+        pl.BlockSpec(
+            w.shape, lambda b, q, n=w.ndim: (0,) * n, memory_space=pltpu.VMEM
+        )
+        for w in flat_weights
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nQ),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, Qt + 2 * H, 128),
+                lambda b, q: (b, q, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        + w_specs,
+        out_specs=pl.BlockSpec(
+            (1, Qt, 128), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Qpad, 128), dtype),
+        interpret=interpret,
+    )(x_win, *flat_weights)
+    return out[:, :Q].reshape(B, Q * s, C)

@@ -1,0 +1,124 @@
+"""Fused MRF stage kernel (ops/fused_mrf.py) — parity vs the standard
+ResBlock1 module path, run in Pallas interpreter mode on the CPU suite.
+
+The real-chip behavior is exercised by bench/synthesis on TPU; measured
+full-size numbers live in docs/ARCHITECTURE.md.  Referee note: against a
+CPU f32 ground truth the fused kernel's f32 dots are ~35x CLOSER than
+XLA:TPU's default conv lowering (which uses reduced-precision passes), so
+parity here is checked against the CPU standard path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastvocoder_tpu.models.layers import ResBlock1
+from fastvocoder_tpu.ops.fused_mrf import (
+    blocked_conv_weight,
+    conv_margins,
+    fused_mrf_stage,
+)
+from fastvocoder_tpu.ops.conv import conv1d
+
+
+def _resblock_weights(rk, dilations, C, x, seed):
+    rb = ResBlock1(channels=C, kernel_size=rk, dilations=dilations,
+                   weight_norm=False)
+    p = rb.init(jax.random.PRNGKey(seed), x)["params"]
+    pairs = [
+        (p[f"conv1_{i}"]["kernel"], p[f"conv1_{i}"]["bias"], d,
+         p[f"conv2_{i}"]["kernel"], p[f"conv2_{i}"]["bias"])
+        for i, d in enumerate(dilations)
+    ]
+    return rb, p, pairs
+
+
+def test_blocked_conv_weight_matches_conv1d(rng):
+    """The block-Toeplitz weight computes the exact same-padded conv."""
+    r = np.random.default_rng(3)
+    for K, d, C, s in [(3, 1, 16, 8), (3, 5, 16, 8), (11, 5, 16, 8),
+                       (7, 3, 32, 4), (11, 1, 32, 4)]:
+        T = 12 * s
+        x = jnp.asarray(r.standard_normal((1, T, C)).astype(np.float32))
+        w = jnp.asarray(r.standard_normal((K, C, C)).astype(np.float32))
+        ref = conv1d(x, w, None, padding=(K - 1) * d // 2, dilation=d)
+        off, right = conv_margins(K, d, s)
+        W3 = blocked_conv_weight(w, d, s)
+        assert W3.shape[0] == off + right + 1
+        xb = jnp.pad(x.reshape(1, T // s, s * C),
+                     ((0, 0), (off, right), (0, 0)))
+        Q = T // s
+        out = sum(
+            jnp.einsum("bqc,cd->bqd", xb[:, j : j + Q], W3[j])
+            for j in range(W3.shape[0])
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.reshape(1, T, C)), np.asarray(ref),
+            atol=2e-5, rtol=1e-4, err_msg=f"K={K} d={d} C={C} s={s}",
+        )
+
+
+@pytest.mark.parametrize("C,s", [(16, 8), (32, 4)])
+def test_fused_mrf_stage_matches_resblocks(C, s, rng):
+    """Whole-MRF fusion == mean of ResBlock1 outputs, across tile
+    boundaries and sequence edges (interpret mode)."""
+    r = np.random.default_rng(C)
+    T, B = 30 * s, 2  # Q=30 over tile_q=16 -> crosses a tile boundary
+    x = jnp.asarray(r.standard_normal((B, T, C)).astype(np.float32) * 0.3)
+    refs, weights = [], []
+    for rk in (3, 7, 11):
+        rb, p, pairs = _resblock_weights(rk, [1, 3, 5], C, x, rk)
+        refs.append(rb.apply({"params": p}, x))
+        weights.append(pairs)
+    ref = sum(refs) / 3
+    got = fused_mrf_stage(x, weights, tile_q=16, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-6, rtol=1e-4
+    )
+
+
+def test_hifigan_generator_fused_path_parity(monkeypatch, rng):
+    """End-to-end hifigan-light: fused-MRF graph == standard graph (the
+    fused path activates for the weight_norm=False inference form on the
+    C=32 and C=16 stages)."""
+    import os
+
+    from fastvocoder_tpu.hparams import load_model_config
+    from fastvocoder_tpu.models.factory import build_generator
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    cfg = load_model_config(
+        "hifigan", os.path.join(root, "conf", "hifigan", "light.yaml")
+    )
+    gen = build_generator(cfg, weight_norm=False)
+    r = np.random.default_rng(0)
+    mel = np.clip(
+        0.5 + 0.25 * r.standard_normal((1, 16, 80)), 0, 1
+    ).astype(np.float32)
+    params = jax.jit(gen.init)(jax.random.PRNGKey(0), mel[:, :4])["params"]
+
+    monkeypatch.setenv("FASTVOCODER_FUSED_MRF", "0")
+    ref = np.asarray(gen.apply({"params": params}, mel))
+    monkeypatch.setenv("FASTVOCODER_FUSED_MRF", "interpret")
+    got = np.asarray(gen.apply({"params": params}, mel))
+    # f32 reassociation amplified through two fused stages; rms is ~6e-6
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+    assert np.sqrt(((got - ref) ** 2).mean()) < 5e-5
+
+
+def test_fused_mrf_gate_excludes_training_form():
+    """weight_norm=True (training graph) must never route to the Pallas
+    kernel — it has no autodiff."""
+    from fastvocoder_tpu.hparams import load_model_config
+    import os
+
+    from fastvocoder_tpu.models.hifigan import _use_fused_mrf
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    cfg = load_model_config(
+        "hifigan", os.path.join(root, "conf", "hifigan", "light.yaml")
+    ).arch
+    assert not _use_fused_mrf(cfg, True, 16, 1920)
+    assert not _use_fused_mrf(cfg, False, 64, 1920)   # too wide to block
+    assert not _use_fused_mrf(cfg, False, 16, 1921)   # not divisible by s
