@@ -19,7 +19,14 @@ def bucket_length(T: int, bucket_frames: int) -> int:
 
 
 class BatchedSynthesizer:
-    """forward(params, mel (B, T, C)) -> wav (B, T * samples_per_frame)."""
+    """forward(params, mel (B, T, C)) -> wav (B, T * samples_per_frame).
+
+    Pass a `jax.sharding.Mesh` to serve data-parallel across a TPU slice:
+    parameters replicate, each bucket batch shards along dim 0 (padded to a
+    multiple of the mesh size), and XLA partitions the whole synthesis
+    program over ICI — the serving analog of `parallel/mesh.py`'s training
+    sharding.  Same results as single-device (tests/test_batched.py proves
+    it on a virtual 8-device CPU mesh)."""
 
     def __init__(
         self,
@@ -28,11 +35,28 @@ class BatchedSynthesizer:
         samples_per_frame: int,
         bucket_frames: int = 64,
         max_batch: int = 32,
+        mesh=None,
     ):
         import jax
 
-        self.forward = jax.jit(forward)
-        self.params = params
+        self.mesh = mesh
+        self.n_dev = 1
+        if mesh is None:
+            self.forward = jax.jit(forward)
+            self.params = params
+        else:
+            from fastvocoder_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated,
+            )
+
+            self.n_dev = mesh.devices.size
+            self.forward = jax.jit(
+                forward,
+                in_shardings=(replicated(mesh), batch_sharding(mesh)),
+                out_shardings=batch_sharding(mesh),
+            )
+            self.params = jax.device_put(params, replicated(mesh))
         self.spf = samples_per_frame
         self.bucket_frames = bucket_frames
         self.max_batch = max_batch
@@ -54,6 +78,11 @@ class BatchedSynthesizer:
                         for i in group
                     ]
                 ).astype(np.float32)
+                if self.n_dev > 1 and batch.shape[0] % self.n_dev:
+                    pad = (-batch.shape[0]) % self.n_dev
+                    batch = np.concatenate(
+                        [batch, np.repeat(batch[-1:], pad, axis=0)]
+                    )
                 wavs = np.asarray(self.forward(self.params, batch))
                 for row, i in enumerate(group):
                     out[i] = wavs[row, : mels[i].shape[0] * self.spf]

@@ -35,15 +35,22 @@ def _fused_mrf_mode() -> str:
     return os.environ.get("FASTVOCODER_FUSED_MRF", "auto")
 
 
-def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T) -> bool:
+def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -> bool:
     """Fuse an MRF stage (ops/fused_mrf.py) when it is the inference-form
     graph (weight_norm=False — Pallas has no autodiff; training keeps the
     standard path), the stage is narrow enough to block into 128 lanes, and
-    the backend can run the kernel."""
+    the backend can run the kernel.
+
+    The C=32 stage is gated to batch >= 2: isolated it wins at any batch
+    (1.9x at B=1), but at whole-model batch-1 the stage-boundary passes it
+    un-fuses from cost more than its margin (hifigan-large 10.0 -> 11.7
+    ms/utt measured); C=16's 2.8x margin absorbs that."""
     mode = _fused_mrf_mode()
     if mode == "0" or weight_norm or cfg.resblock_type != "1":
         return False
     if ch not in (16, 32) or not isinstance(T, int) or T % (128 // ch) != 0:
+        return False
+    if ch == 32 and batch == 1 and mode == "auto":
         return False
     if mode == "auto":
         return jax.default_backend() == "tpu"
@@ -92,7 +99,7 @@ class HiFiGANGenerator(nn.Module):
                     ch, upsample_rate=u, kernel_size=k, stride=1,
                     padding=k // 2, name=f"up_{i}", **kw,
                 )(x)
-            if _use_fused_mrf(cfg, self.weight_norm, ch, x.shape[1]):
+            if _use_fused_mrf(cfg, self.weight_norm, ch, x.shape[1], x.shape[0]):
                 from fastvocoder_tpu.ops.fused_mrf import fused_mrf_stage
 
                 rbs = [

@@ -48,7 +48,10 @@ LRELU_SLOPE = 0.1  # reference modules.py:9
 
 
 def _leaky(x, slope=LRELU_SLOPE):
-    return jnp.where(x >= 0, x, x * slope)
+    # compare in f32: Mosaic rejects bf16 comparisons on v5e ("Target does
+    # not support this comparison"); the cast is free on the VPU
+    x32 = x.astype(jnp.float32)
+    return jnp.where(x32 >= 0, x32, x32 * slope).astype(x.dtype)
 
 
 def conv_margins(kernel_size: int, dilation: int, s: int) -> Tuple[int, int]:
