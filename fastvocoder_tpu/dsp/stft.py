@@ -46,6 +46,40 @@ def num_stft_frames(length: int, n_fft: int, hop: int, center: bool = True) -> i
     return 1 + (length - n_fft) // hop
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def frame_signal(
+    x: jnp.ndarray, num_frames: int, n_fft: int, hop: int
+) -> jnp.ndarray:
+    """(..., T) -> (..., num_frames, n_fft) overlapping frames.
+
+    Forward is a single static gather.  The custom VJP replaces the
+    gather's adjoint — a scatter-add, which XLA:TPU lowers with index sorts
+    and which weighs on the MR-STFT loss / MFD discriminator backward —
+    with the scatter-free step-chunked overlap-add (`ops/overlap_add.py`).
+    Measured on v5e (batch 32 x 33600 samples, 3 loss resolutions):
+    MR-STFT loss fwd+bwd 29.9 -> 16.4 ms; full GAN train step 298 -> 273 ms.
+    """
+    idx = jnp.asarray(_frame_indices(num_frames, n_fft, hop))
+    return x[..., idx]
+
+
+def _frame_signal_fwd(x, num_frames, n_fft, hop):
+    return frame_signal(x, num_frames, n_fft, hop), x.shape[-1]
+
+
+def _frame_signal_bwd(num_frames, n_fft, hop, T, g):
+    from fastvocoder_tpu.ops.overlap_add import overlap_and_add
+
+    out = overlap_and_add(g, hop)  # (..., (num_frames - 1) * hop + n_fft)
+    covered = out.shape[-1]
+    if covered < T:  # trailing samples no frame reads get zero gradient
+        out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, T - covered)])
+    return (out,)
+
+
+frame_signal.defvjp(_frame_signal_fwd, _frame_signal_bwd)
+
+
 @functools.partial(
     jax.jit, static_argnames=("fft_size", "hop_size", "win_length", "center")
 )
@@ -66,8 +100,7 @@ def stft_complex(
             mode="reflect",
         )
     nf = 1 + (x.shape[-1] - fft_size) // hop_size
-    idx = jnp.asarray(_frame_indices(nf, fft_size, hop_size))
-    frames = x[..., idx]  # (..., frames, n_fft) — one gather, static shapes
+    frames = frame_signal(x, nf, fft_size, hop_size)  # one gather, static shapes
     win = _padded_window(win_length, fft_size, dtype=x.dtype)
     frames = frames * win
     return jnp.fft.rfft(frames.astype(jnp.float32), n=fft_size, axis=-1)
@@ -113,13 +146,13 @@ def istft(
     frames = frames * win
 
     total = fft_size + hop_size * (nf - 1)
-    # Overlap-add via the subframe trick: hop divides positions statically.
-    out = jnp.zeros(z.shape[:-2] + (total,), dtype=frames.dtype)
-    wsq = jnp.zeros((total,), dtype=frames.dtype)
-    idx = jnp.asarray(_frame_indices(nf, fft_size, hop_size))
-    out = out.at[..., idx].add(frames)
-    wsq = wsq.at[idx.reshape(-1)].add(jnp.tile(win * win, (nf,)))
+    # scatter-free overlap-add (ops/overlap_add.py)
+    from fastvocoder_tpu.ops.overlap_add import overlap_and_add
 
+    out = overlap_and_add(frames, hop_size)
+    wsq = overlap_and_add(
+        jnp.tile((win * win)[None, :], (nf, 1)), hop_size
+    )
     out = out / jnp.maximum(wsq, 1e-10)
     if center:
         out = out[..., fft_size // 2 : total - fft_size // 2]
