@@ -430,11 +430,16 @@ class AsyncCheckpointWriter:
     """Background-thread checkpoint saving.
 
     `save_checkpoint` fetches every array to the host and pickles it, which
-    blocks the train loop for seconds per save on a real TPU run.  jax
-    arrays are immutable (donation creates new buffers), so snapshotting
-    them from a worker thread is safe; the loop only enqueues.  One worker,
-    saves execute in submission order; call `wait()` before reading the
-    files or exiting."""
+    blocks the train loop for seconds per save on a real TPU run; here the
+    loop only enqueues.  `submit` snapshots every device array with an
+    asynchronous on-device copy first: the train step is compiled with
+    donated state (`parallel/mesh.py` donate_argnums), so the ORIGINAL
+    buffers are deleted by the next step — a worker thread reading them
+    races ("Array has been deleted", found by a real 300-step TPU driver
+    run).  The copies are enqueued on the device stream before the next
+    step and are never donated, so the worker's host fetch is safe.  One
+    worker, saves execute in submission order; call `wait()` before reading
+    the files or exiting."""
 
     def __init__(self):
         import queue
@@ -460,6 +465,12 @@ class AsyncCheckpointWriter:
                 self._q.task_done()
 
     def submit(self, *args, **kwargs) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        snap = lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x
+        args = jax.tree_util.tree_map(snap, args)
+        kwargs = jax.tree_util.tree_map(snap, kwargs)
         self._q.put((args, kwargs))
 
     def wait(self) -> None:

@@ -63,3 +63,41 @@ def test_cli_entry_dispatch():
     assert main(["--help"]) == 0
     with pytest.raises(SystemExit):
         main(["nonsense"])
+
+
+def test_async_checkpoint_writer_survives_donated_buffers(tmp_path):
+    """The train step donates its state, so the arrays passed to submit()
+    are deleted by the very next step — the writer must have snapshotted
+    them (regression: "Array has been deleted with shape=float32[256]"
+    from a real 300-step TPU driver run)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from fastvocoder_tpu.hparams import MelGANConfig, ModelConfig
+    from fastvocoder_tpu.models.factory import build_generator
+    from fastvocoder_tpu.train.checkpoint import AsyncCheckpointWriter
+
+    cfg = ModelConfig(
+        model_name="melgan", arch=MelGANConfig(channels=(8, 8, 8, 8, 8))
+    )
+    gen = build_generator(cfg)
+    params = jax.jit(gen.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 8, 80), np.float32)
+    )["params"]
+    want = float(
+        jnp.sum(sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(params)))
+    )
+
+    w = AsyncCheckpointWriter()
+    path = str(tmp_path / "ckpt.pth.tar")
+    w.submit(path, cfg, params, None, None, None, step=1)
+    # simulate the next donating step invalidating every submitted buffer
+    for leaf in jax.tree_util.tree_leaves(params):
+        leaf.delete()
+    w.wait()
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    got = float(sum(t.sum() for t in ckpt["model"].values()))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
