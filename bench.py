@@ -70,7 +70,7 @@ def load_mels() -> np.ndarray:
     ).astype(np.float32)
 
 
-def build(model_name: str, conf: str):
+def build(model_name: str, conf: str, compute_dtype=None):
     """-> (inference_fn(params, cond) -> full-band wav, params, prep) where
     prep maps the (B, T, 80) mel eval set to the model's conditioning."""
     import jax
@@ -87,7 +87,9 @@ def build(model_name: str, conf: str):
         ).astype(np.float32)
     # fused (weight-norm removed) inference graph, like the reference's
     # published checkpoints (reference bin/synthesize.py:72)
-    gen = build_generator(cfg, weight_norm=False, **kw)
+    gen = build_generator(
+        cfg, weight_norm=False, compute_dtype=compute_dtype, **kw
+    )
 
     if model_name in ("basis-melgan", "nhv"):
         fwd = lambda p, m: gen.apply({"params": p}, m, method=gen.inference)
@@ -200,6 +202,19 @@ def main():
             xrt = bench_batched(fwd, params, mels)
             extras["hifigan_light_batched_xrealtime"] = round(xrt, 1)
             print(f"hifigan_light_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
+            # bf16 serving variant (compute_dtype=bfloat16, f32 params)
+            import jax.numpy as jnp
+
+            fwd16, params16, _ = build(
+                model_name, os.path.join(root, conf),
+                compute_dtype=jnp.bfloat16,
+            )
+            xrt16 = bench_batched(fwd16, params16, mels)
+            extras["hifigan_light_batched_xrealtime_bf16"] = round(xrt16, 1)
+            print(
+                f"hifigan_light_batched_xrealtime_bf16: {xrt16:.1f}",
+                file=sys.stderr,
+            )
 
     rtf, baseline = headline
     print(

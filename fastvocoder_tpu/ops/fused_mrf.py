@@ -107,13 +107,20 @@ def _mrf_kernel(
     H: int,
     Q_real: int,
     dtype,
-    x_win_ref,
+    left_ref,
+    center_ref,
+    right_ref,
     *refs,
 ):
-    """Pallas kernel body.  x_win_ref is one (1, 1, Qt+2H, 128) halo window
-    (standard pipelined BlockSpec — manual HBM DMA faults on some TPU
-    runtimes, and windows cost only H/Qt extra HBM traffic); refs = 2 per
-    conv (w3, bias) ..., out_ref.  `meta` is the static per-resblock list of
+    """Pallas kernel body.  The tile is assembled in VMEM from three
+    pipelined BlockSpecs over the SAME blocked input: the (1, Qt, 128)
+    center block plus (1, H, 128) left/right halo blocks — ~1.05x HBM
+    traffic vs ~3x for materialized overlap windows (manual HBM DMA, the
+    zero-copy alternative, hard-faults this TPU runtime).  At the sequence
+    ends the halo block indices are clamped; their rows map outside
+    [0, Q_real) and are zeroed by the input mask below, so the clamped
+    content never matters.  refs = 2 per conv (w3, bias) ..., out_ref.
+    `meta` is the static per-resblock list of
     [(off1, right1, off2, right2), ...] margins."""
     from jax.experimental import pallas as pl
 
@@ -132,7 +139,8 @@ def _mrf_kernel(
         g = qi * Qt - H + a_cum + row  # global block index of each row
         return jnp.where((g >= 0) & (g < Q_real), t, jnp.zeros_like(t))
 
-    x0 = x_win_ref[0, 0]  # (Qt + 2H, 128)
+    x0 = jnp.concatenate([left_ref[0], center_ref[0], right_ref[0]], axis=0)
+    x0 = mask_outside_sequence(x0, 0)  # (Qt + 2H, 128)
     acc = None
     ref_i = 0
     for pairs in meta:  # one resblock
@@ -204,17 +212,17 @@ def fused_mrf_stage(
         meta.append(pair_meta)
         H = max(H, a_r, b_r)
 
-    Qt = min(tile_q, max(8, -(-Q // 8) * 8))
+    # halo rounded to a sublane-friendly multiple of 8; the tile size must
+    # be a multiple of H so the halo blocks land on an H-aligned grid
+    H = -(-H // 8) * 8
+    Qt = max(H, (min(tile_q, max(8, -(-Q // 8) * 8)) // H) * H)
     nQ = -(-Q // Qt)
     Qpad = nQ * Qt
+    nH = Qpad // H  # halo-block grid size
 
     xb = x.reshape(B, Q, 128)
-    xb = jnp.pad(xb, ((0, 0), (H, Qpad - Q + H), (0, 0)))
-    # materialize overlapping halo windows (nQ, Qt+2H): one gather pass over
-    # the tensor, +2H/Qt extra HBM bytes; Pallas then double-buffers the
-    # windows as standard pipelined blocks
-    idx = np.arange(nQ)[:, None] * Qt + np.arange(Qt + 2 * H)[None, :]
-    x_win = xb[:, idx]  # (B, nQ, Qt+2H, 128)
+    if Qpad != Q:
+        xb = jnp.pad(xb, ((0, 0), (0, Qpad - Q), (0, 0)))
 
     kernel = functools.partial(_mrf_kernel, meta, Qt, H, Q, dtype)
     w_specs = [
@@ -223,21 +231,30 @@ def fused_mrf_stage(
         )
         for w in flat_weights
     ]
+    r = Qt // H  # halo blocks per tile
+    x_specs = [
+        pl.BlockSpec(  # left halo: H rows ending at the tile start
+            (1, H, 128),
+            lambda b, q: (b, jnp.maximum(q * r - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(  # center tile
+            (1, Qt, 128), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(  # right halo: H rows after the tile end
+            (1, H, 128),
+            lambda b, q: (b, jnp.minimum(q * r + r, nH - 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
     out = pl.pallas_call(
         kernel,
         grid=(B, nQ),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, Qt + 2 * H, 128),
-                lambda b, q: (b, q, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ]
-        + w_specs,
+        in_specs=x_specs + w_specs,
         out_specs=pl.BlockSpec(
             (1, Qt, 128), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, Qpad, 128), dtype),
         interpret=interpret,
-    )(x_win, *flat_weights)
+    )(xb, xb, xb, *flat_weights)
     return out[:, :Q].reshape(B, Q * s, C)
