@@ -133,6 +133,7 @@ def run(args):
         learning_rate=args.learning_rate,
         learning_rate_discriminator=args.learning_rate_discriminator,
         compute_dtype=compute_dtype,
+        remat=bool(getattr(args, "remat", 0)),
     )
 
     assert hp.batch_size % proc_count == 0, (
@@ -434,6 +435,10 @@ def run_train(argv=None):
     parser.add_argument("--config", type=str, help="path to model configuration file")
     parser.add_argument("--use_scheduler", type=int, default=0)
     parser.add_argument("--mixprecision", type=int, default=0)
+    parser.add_argument("--remat", type=int, default=0,
+                        help="rematerialize the generator forward "
+                             "(jax.checkpoint) to cut activation memory "
+                             "for long fixed_length crops")
     parser.add_argument("--basis_dataset_path", type=str,
                         default="Basis-MelGAN-dataset")
     parser.add_argument("--seed", type=int, default=0)

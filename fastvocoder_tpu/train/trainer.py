@@ -152,6 +152,12 @@ class Trainer:
     gen_tx: optax.GradientTransformation
     disc_tx: optax.GradientTransformation
     pqmf: Optional[PQMF]
+    # rematerialize the generator forward in the backward pass
+    # (jax.checkpoint): the G update's peak memory no longer holds the
+    # generator's activation stack alive through the discriminator
+    # forward/backward — trades one extra G forward per step for memory,
+    # enabling long training crops (see docs/PERF.md "Memory")
+    remat: bool = False
 
     # ---- state init ----
 
@@ -185,14 +191,21 @@ class Trainer:
     # ---- forward helpers ----
 
     def _gen_forward(self, params, mel, step=None):
-        kw = {}
-        if self.cfg.model_name == "nhv" and step is not None:
-            # fresh noise-source draw per train step (deterministic in step)
-            kw["rngs"] = {"noise": jax.random.fold_in(jax.random.PRNGKey(42), step)}
-        out = self.generator.apply({"params": params}, mel, **kw)
-        if self.cfg.model_name == "basis-melgan":
-            return out  # (est_source, est_weight)
-        return out, None
+        def fwd(params, mel):
+            kw = {}
+            if self.cfg.model_name == "nhv" and step is not None:
+                # fresh noise-source draw per train step (deterministic in step)
+                kw["rngs"] = {
+                    "noise": jax.random.fold_in(jax.random.PRNGKey(42), step)
+                }
+            out = self.generator.apply({"params": params}, mel, **kw)
+            if self.cfg.model_name == "basis-melgan":
+                return out  # (est_source, est_weight)
+            return out, None
+
+        if self.remat:
+            fwd = jax.checkpoint(fwd)
+        return fwd(params, mel)
 
     def _to_fullband(self, est):
         if self.pqmf is not None:
@@ -250,9 +263,13 @@ class Trainer:
             metrics = {"stft_loss": stft_l}
 
             est_full = self._to_fullband(est)
-            est_p = self.discriminator.apply(
-                {"params": state.disc_params}, est_full
-            )
+            disc_apply = lambda p, w: self.discriminator.apply({"params": p}, w)
+            if self.remat:
+                # the composite discriminator's per-scale feature maps are
+                # the largest activation group in the G update; recompute
+                # them in the backward instead of keeping them live
+                disc_apply = jax.checkpoint(disc_apply)
+            est_p = disc_apply(state.disc_params, est_full)
             adv_l = adversarial_loss(est_p)
             total = total + self.hp.lambda_adv * adv_l
             metrics["adversarial_loss"] = adv_l
@@ -337,12 +354,15 @@ def make_trainer(
     learning_rate_discriminator: Optional[float] = None,
     compute_dtype: Any = None,
     disc_cfg: DiscriminatorConfig = DISC,
+    remat: bool = False,
 ) -> Trainer:
     """compute_dtype=jnp.bfloat16 gives mixed-precision training: bf16
     activations/kernels inside the conv stacks, f32 master params and f32
     loss math — the TPU-native replacement for the reference's apex amp O1
     (reference bin/train.py:41-45,335-342; no loss scaling needed, bf16 has
-    f32's exponent range)."""
+    f32's exponent range).  remat=True rematerializes the generator forward
+    (jax.checkpoint) — one extra G forward per step for a lower activation
+    peak; use for long `fixed_length` crops."""
     hp = hp.replace(use_feature_map_loss=cfg.use_feature_map_loss)
     generator = build_generator(
         cfg, basis_signal_weight=basis_signal_weight, compute_dtype=compute_dtype
@@ -362,4 +382,5 @@ def make_trainer(
             hp, use_scheduler, learning_rate_discriminator
         ),
         pqmf=PQMF() if cfg.multiband else None,
+        remat=remat,
     )

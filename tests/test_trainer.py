@@ -208,3 +208,38 @@ def test_checkpoint_resume_continues_identically(rng, tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-6, err_msg=str(pa)
         )
+
+
+def test_remat_step_matches_standard(rng):
+    """remat=True (jax.checkpoint around the G forward) must be numerically
+    identical to the standard step — it only changes what the backward
+    rematerializes."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastvocoder_tpu.hparams import HP, MelGANConfig, ModelConfig, TINY_DISC
+    from fastvocoder_tpu.train.trainer import make_trainer
+
+    hp = HP.replace(fixed_length=12)
+    cfg = ModelConfig(
+        model_name="melgan", arch=MelGANConfig(channels=(8, 8, 8, 8, 8)),
+        lambda_stft=1.0,
+    )
+    mel = rng.standard_normal((2, 12, 80)).astype(np.float32)
+    wav = (0.1 * rng.standard_normal((2, 12 * hp.hop_size))).astype(np.float32)
+
+    outs = []
+    for remat in (False, True):
+        tr = make_trainer(cfg, hp=hp, disc_cfg=TINY_DISC, remat=remat)
+        state = tr.init_state(jax.random.PRNGKey(0))
+        state, m = jax.jit(tr.gan_step)(state, mel, wav)
+        outs.append((jax.device_get(state.gen_params), {k: float(v) for k, v in m.items()}))
+    p0, m0 = outs[0]
+    p1, m1 = outs[1]
+    assert m0 == m1, (m0, m1)
+    # the recompute fuses slightly differently; Adam's grad normalization
+    # amplifies the reassociation noise on near-zero grads, so compare with
+    # an absolute bound on the post-update params (lr=1e-4 scale)
+    # bound = a few learning-rate quanta (lr=1e-4; Adam updates are O(lr))
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(a, b, atol=5e-4, rtol=0)
