@@ -17,11 +17,12 @@ This kernel restructures the stage TPU-first:
     with block-Toeplitz weights (`blocked_conv_weight`): W3[j] is (s*C, s*C)
     and y_q = sum_j x_{q+j-off} @ W3[j].  Same taps per output sample —
     exact math, only the summation grouping changes.
-  * **One pass over HBM.**  The kernel tiles Q, DMAs each tile plus a halo
-    of H blocks into VMEM once, and computes the ENTIRE MRF — every leaky
-    relu, all 18 block-convs, the residual adds, and the 1/num_kernels
-    mean — from VMEM, writing each output tile once.  18 full-tensor HBM
-    round-trips become 1.
+  * **One pass over HBM.**  The kernel tiles Q; each tile arrives in VMEM
+    as three pipelined BlockSpecs over the same input (center + H-row
+    left/right halo blocks, ~1.05x traffic), and the ENTIRE MRF — every
+    leaky relu, all 18 block-convs, the residual adds, and the
+    1/num_kernels mean — is computed from VMEM, writing each output tile
+    once.  18 full-tensor HBM round-trips become 1.
   * **MXU-shaped compute.**  Every tap is a (tile, 128) @ (128, 128) matmul
     accumulated in f32 (`preferred_element_type`).
 
