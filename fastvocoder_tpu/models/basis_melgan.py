@@ -94,11 +94,14 @@ class BasisMelGANGenerator(nn.Module):
         cfg = self.cfg
         x = reflect_pad1d(mel, (cfg.kernel_size - 1) // 2)
         x = self.conv_pre(x)
+        from fastvocoder_tpu.models.layers import apply_residual_stacks
+
         for up, stack_group in zip(self.ups, self.stacks):
             x = leaky_relu(x, 0.2)
             x = up(x)
-            for stack in stack_group:
-                x = stack(x)
+            x = apply_residual_stacks(
+                x, cfg, self.compute_dtype, list(stack_group)
+            )
         if self.use_final_nonlinear_activation:
             x = jnp.maximum(x, 0.0)  # ReLU -> non-negative weights
         return x

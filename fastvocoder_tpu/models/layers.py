@@ -194,13 +194,8 @@ class CausalWNConv1d(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        pad = (self.kernel_size - 1) * self.dilation
-        if self.pad_mode == "reflect":
-            x = reflect_pad1d(x, (pad, pad))
-        else:
-            x = constant_pad1d(x, (pad, pad), self.pad_value)
-        y = WNConv1d(
+    def weights(self, cin: int):
+        return WNConv1d(
             self.features,
             self.kernel_size,
             dilation=self.dilation,
@@ -208,7 +203,19 @@ class CausalWNConv1d(nn.Module):
             weight_norm=self.weight_norm,
             compute_dtype=self.compute_dtype,
             name="conv",
-        )(x)
+        ).weights(cin)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel, bias = self.weights(x.shape[-1])
+        pad = (self.kernel_size - 1) * self.dilation
+        if self.pad_mode == "reflect":
+            x = reflect_pad1d(x, (pad, pad))
+        else:
+            x = constant_pad1d(x, (pad, pad), self.pad_value)
+        y = _apply_conv1d(
+            x, kernel, bias, dilation=self.dilation,
+            compute_dtype=self.compute_dtype,
+        )
         return y[:, : x.shape[1] - 2 * pad, :]
 
 
@@ -227,29 +234,86 @@ class ResidualStack(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, c: jnp.ndarray) -> jnp.ndarray:
+    def weights(self, cin: int):
+        """Create this stack's params; return (k_d, b_d, k_1x1, b_1x1,
+        k_skip, b_skip) effective weights — the form
+        `ops/fused_resstack.py::fused_residual_stacks` consumes."""
         kw = dict(
             use_bias=self.use_bias,
             weight_norm=self.weight_norm,
             compute_dtype=self.compute_dtype,
         )
-        h = leaky_relu(c, self.negative_slope)
         if not self.use_causal_conv:
-            h = reflect_pad1d(h, (self.kernel_size - 1) // 2 * self.dilation)
-            h = WNConv1d(
+            kd, bd = WNConv1d(
                 self.channels, self.kernel_size, dilation=self.dilation,
                 name="conv_dilated", **kw,
-            )(h)
+            ).weights(cin)
         else:
-            h = CausalWNConv1d(
+            kd, bd = CausalWNConv1d(
                 self.channels, self.kernel_size, dilation=self.dilation,
                 use_bias=self.use_bias, weight_norm=self.weight_norm,
                 compute_dtype=self.compute_dtype, name="conv_dilated",
-            )(h)
+            ).weights(cin)
+        k1, b1 = WNConv1d(self.channels, 1, name="conv_1x1", **kw).weights(
+            self.channels
+        )
+        ks, bs = WNConv1d(self.channels, 1, name="skip", **kw).weights(cin)
+        return kd, bd, k1, b1, ks, bs
+
+    def __call__(self, c: jnp.ndarray) -> jnp.ndarray:
+        kd, bd, k1, b1, ks, bs = self.weights(c.shape[-1])
+        dt = self.compute_dtype
+        pad = (self.kernel_size - 1) * self.dilation
+        h = leaky_relu(c, self.negative_slope)
+        if not self.use_causal_conv:
+            h = reflect_pad1d(h, pad // 2)
+            h = _apply_conv1d(h, kd, bd, dilation=self.dilation, compute_dtype=dt)
+        else:
+            # causal: reflect-pad (k-1)*d both sides, keep the first T
+            # (reference modules.py:273-294,360-367)
+            T = h.shape[1]
+            h = reflect_pad1d(h, (pad, pad))
+            h = _apply_conv1d(h, kd, bd, dilation=self.dilation, compute_dtype=dt)
+            h = h[:, :T, :]
         h = leaky_relu(h, self.negative_slope)
-        h = WNConv1d(self.channels, 1, name="conv_1x1", **kw)(h)
-        skip = WNConv1d(self.channels, 1, name="skip", **kw)(c)
+        h = _apply_conv1d(h, k1, b1, compute_dtype=dt)
+        skip = _apply_conv1d(c, ks, bs, compute_dtype=dt)
         return h + skip
+
+
+def apply_residual_stacks(x, cfg, compute_dtype, stack_modules):
+    """Run a stage's sequential ResidualStacks — fused into one Pallas
+    program (`ops/fused_resstack.py`) for the inference graph at
+    MXU-lane-filling widths, else via the standard modules."""
+    from fastvocoder_tpu.ops.fused_resstack import (
+        fused_residual_stacks,
+        fused_stacks_mode,
+        stack_margin,
+        use_fused_stacks,
+    )
+
+    C = x.shape[-1]
+    M = sum(stack_margin(m.kernel_size, m.dilation) for m in stack_modules)
+    if use_fused_stacks(
+        cfg.use_weight_norm, cfg.use_causal_conv, C, x.shape[1], M, x.shape[0]
+    ):
+        zero = jnp.zeros((C,), x.dtype)
+        tuples = []
+        for m in stack_modules:
+            kd, bd, k1, b1, ks, bs = m.weights(C)
+            tuples.append((
+                kd, bd if bd is not None else zero, m.dilation,
+                k1, b1 if b1 is not None else zero,
+                ks, bs if bs is not None else zero,
+            ))
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        return fused_residual_stacks(
+            x, tuples, interpret=fused_stacks_mode() == "interpret"
+        )
+    for m in stack_modules:
+        x = m(x)
+    return x
 
 
 class ResBlock1(nn.Module):

@@ -19,6 +19,7 @@ from fastvocoder_tpu.models.layers import (
     ResidualStack,
     WNConv1d,
     WNConvTranspose1d,
+    apply_residual_stacks,
     leaky_relu,
 )
 from fastvocoder_tpu.ops.conv import reflect_pad1d
@@ -52,17 +53,22 @@ class MelGANGenerator(nn.Module):
                 name=f"up_{i}",
                 **kw,
             )(x)
-            for j in range(cfg.stacks):
-                x = ResidualStack(
-                    channels=x.shape[-1],
-                    kernel_size=cfg.stack_kernel_size,
-                    dilation=cfg.stack_kernel_size**j,
-                    use_bias=cfg.bias,
-                    weight_norm=cfg.use_weight_norm,
-                    use_causal_conv=cfg.use_causal_conv,
-                    compute_dtype=self.compute_dtype,
-                    name=f"stack_{i}_{j}",
-                )(x)
+            x = apply_residual_stacks(
+                x, cfg, self.compute_dtype,
+                [
+                    ResidualStack(
+                        channels=x.shape[-1],
+                        kernel_size=cfg.stack_kernel_size,
+                        dilation=cfg.stack_kernel_size**j,
+                        use_bias=cfg.bias,
+                        weight_norm=cfg.use_weight_norm,
+                        use_causal_conv=cfg.use_causal_conv,
+                        compute_dtype=self.compute_dtype,
+                        name=f"stack_{i}_{j}",
+                    )
+                    for j in range(cfg.stacks)
+                ],
+            )
 
         x = LastLayer(
             cfg.out_channels, cfg.kernel_size,

@@ -1,0 +1,201 @@
+"""Fused MelGAN/Basis-MelGAN residual-stack chain — one Pallas program per
+upsample stage.
+
+A MelGAN-family stage runs `stacks` sequential ResidualStacks (reference
+model/generator/melgan.py:89-102, modules.py:320-382), each =
+leaky(0.2) -> reflect-pad -> dilated conv k3 -> leaky(0.2) -> 1x1 conv,
+plus a 1x1 skip — ~6 full-tensor HBM passes per stack on long waveform-rate
+tensors.  At the trunk widths (C = 128/256) the channels already fill the
+MXU lanes, so unlike the HiFiGAN MRF kernel (`ops/fused_mrf.py`) no blocked
+layout is needed: the whole 3-stack chain runs from VMEM in the sample
+domain, each conv tap a (tile, C) @ (C, C) dot, one read + one write of the
+stage tensor.
+
+Reflect padding does NOT commute through a fused chain (each stack mirrors
+its OWN input at the sequence edges), so exactness comes from edge
+stitching instead of in-kernel mirrors: the kernel computes the pure
+valid-convolution interior (rows [M, T-M), M = sum of per-stack margins),
+and the M-row sequence edges are computed by the standard functional chain
+on 4M-sample slices — cheap, and bit-matching the module path.  The
+concatenation is exact (tests/test_fused_resstack.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fastvocoder_tpu.ops.conv import conv1d, reflect_pad1d
+
+_HALO_ROWS = 32  # one halo block; must be >= 2*M and a multiple of 8
+
+
+def fused_stacks_mode() -> str:
+    """FASTVOCODER_FUSED_STACKS: "auto" (default; Pallas kernel on TPU),
+    "1" (force compiled), "interpret" (CPU tests), "0" (off)."""
+    import os
+
+    return os.environ.get("FASTVOCODER_FUSED_STACKS", "auto")
+
+
+def use_fused_stacks(
+    weight_norm: bool, use_causal: bool, C: int, T, M: int, batch=1
+) -> bool:
+    """Gate: inference graph only (no Pallas autodiff), non-causal reflect
+    semantics, MXU-lane-filling widths, and room for the edge slices.
+
+    Batch-1 only under "auto": measured on v5e (basis-melgan light,
+    585-frame utterances) the kernel wins single-utterance latency 1.21x
+    (2.04 -> 1.69 ms/utt) but loses batched throughput ~10% at batch 32
+    (15.4 -> 16.8 ms) — at C=256 the XLA convs are already MXU-bound and
+    better pipelined; the same latency/throughput crossover as
+    `ops/basis_decode.py`."""
+    mode = fused_stacks_mode()
+    if mode == "0" or weight_norm or use_causal or C not in (128, 256):
+        return False
+    if not isinstance(T, int) or T < 4 * M or 2 * M > _HALO_ROWS:
+        return False
+    if mode == "auto":
+        return batch == 1 and jax.default_backend() == "tpu"
+    return True
+
+
+def _leaky(x, slope=0.2):
+    # f32 compare: Mosaic rejects bf16 comparisons on v5e
+    x32 = x.astype(jnp.float32)
+    return jnp.where(x32 >= 0, x32, x32 * slope).astype(x.dtype)
+
+
+def stack_margin(kernel_size: int, dilation: int) -> int:
+    return (kernel_size - 1) // 2 * dilation
+
+
+def _std_chain(x: jnp.ndarray, stacks) -> jnp.ndarray:
+    """The reference-semantics functional chain (reflect pads per stack) —
+    used for the sequence-edge slices."""
+    h = x
+    for kd, bd, d, k1, b1, ks, bs in stacks:
+        t = _leaky(h)
+        t = reflect_pad1d(t, stack_margin(kd.shape[0], d))
+        t = conv1d(t, kd, bd, dilation=d)
+        t = _leaky(t)
+        t = conv1d(t, k1, b1)
+        h = t + conv1d(h, ks, bs)
+    return h
+
+
+def _chain_kernel(stacks_meta, Qt: int, dtype, center_ref, halo_ref, *refs):
+    """Valid-convolution chain over one VMEM tile (no padding semantics at
+    all — edges are handled by the XLA-side stitching)."""
+    n = len(stacks_meta)
+    w_refs = refs[: 6 * n]
+    out_ref = refs[6 * n]
+
+    h = jnp.concatenate([center_ref[0], halo_ref[0]], axis=0)  # (Qt+32, C)
+    ref_i = 0
+    for K, d in stacks_meta:
+        kd, bd = w_refs[ref_i], w_refs[ref_i + 1]
+        k1, b1 = w_refs[ref_i + 2], w_refs[ref_i + 3]
+        ks, bs = w_refs[ref_i + 4], w_refs[ref_i + 5]
+        ref_i += 6
+        t = _leaky(h)
+        Lo = t.shape[0] - (K - 1) * d
+        acc = None
+        for j in range(K):
+            part = jnp.dot(
+                t[j * d : j * d + Lo], kd[j],
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        t = (acc + bd[:]).astype(dtype)
+        t = _leaky(t)
+        t = (
+            jnp.dot(t, k1[0], preferred_element_type=jnp.float32) + b1[:]
+        ).astype(dtype)
+        m = stack_margin(K, d)
+        sk = (
+            jnp.dot(h[m : m + Lo], ks[0], preferred_element_type=jnp.float32)
+            + bs[:]
+        ).astype(dtype)
+        h = t + sk
+    out_ref[0] = h[:Qt]
+
+
+def fused_residual_stacks(
+    x: jnp.ndarray,
+    stacks: Sequence[Tuple[jnp.ndarray, jnp.ndarray, int, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    tile_q: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Apply a sequential ResidualStack chain to x (B, T, C).
+
+    stacks: per stack (k_dilated (K,C,C), b_d (C,), dilation, k_1x1 (1,C,C),
+    b_1 (C,), k_skip (1,C,C), b_s (C,)) — effective (weight-norm applied)
+    kernels.  Exact module-path semantics (reflect pads per stack) via
+    interior kernel + standard-chain edges.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, C = x.shape
+    dtype = x.dtype
+    M = sum(stack_margin(kd.shape[0], d) for kd, _, d, *_ in stacks)
+    assert 2 * M <= _HALO_ROWS and T >= 4 * M, (M, T)
+
+    stacks = [
+        tuple(w.astype(dtype) if hasattr(w, "astype") else w for w in s)
+        for s in stacks
+    ]
+
+    # sequence edges: the standard chain on 4M-sample slices; rows [0, M)
+    # and [T-M, T) are uncontaminated by the slice's far edge
+    left = _std_chain(x[:, : 4 * M], stacks)[:, :M]
+    right = _std_chain(x[:, -4 * M :], stacks)[:, -M:]
+
+    # interior: valid chain, tiled
+    Ti = T - 2 * M
+    Qt = min(tile_q, -(-Ti // 8) * 8)
+    Qt = max(_HALO_ROWS, (Qt // _HALO_ROWS) * _HALO_ROWS)
+    nQ = -(-Ti // Qt)
+    pad_rows = nQ * Qt + _HALO_ROWS - T
+    xp = jnp.pad(x, ((0, 0), (0, max(0, pad_rows)), (0, 0)))
+
+    meta = [(kd.shape[0], d) for kd, _, d, *_ in stacks]
+    flat = []
+    for kd, bd, d, k1, b1, ks, bs in stacks:
+        flat += [kd, bd[None, :], k1, b1[None, :], ks, bs[None, :]]
+
+    kernel = functools.partial(_chain_kernel, meta, Qt, dtype)
+    w_specs = [
+        pl.BlockSpec(
+            w.shape, lambda b, q, n=w.ndim: (0,) * n, memory_space=pltpu.VMEM
+        )
+        for w in flat
+    ]
+    r = Qt // _HALO_ROWS
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nQ),
+        in_specs=[
+            pl.BlockSpec(  # center tile: interior rows [q*Qt, q*Qt+Qt)
+                (1, Qt, C), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(  # halo: the next 32 rows
+                (1, _HALO_ROWS, C),
+                lambda b, q: (b, q * r + r, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + w_specs,
+        out_specs=pl.BlockSpec(
+            (1, Qt, C), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nQ * Qt, C), dtype),
+        interpret=interpret,
+    )(xp, xp, *flat)
+    interior = out[:, :Ti]
+
+    return jnp.concatenate([left, interior, right], axis=1)
