@@ -52,11 +52,14 @@ def use_fused_stacks(
     (2.04 -> 1.69 ms/utt) but loses batched throughput ~10% at batch 32
     (15.4 -> 16.8 ms) — at C=256 the XLA convs are already MXU-bound and
     better pipelined; the same latency/throughput crossover as
-    `ops/basis_decode.py`."""
+    `ops/basis_decode.py`.  Narrow stages (C = 32/64) run in the blocked
+    (B, Q, s*C=128) layout like ops/fused_mrf.py."""
     mode = fused_stacks_mode()
-    if mode == "0" or weight_norm or use_causal or C not in (128, 256):
+    if mode == "0" or weight_norm or use_causal or C not in (32, 64, 128, 256):
         return False
-    if not isinstance(T, int) or T < 4 * M or 2 * M > _HALO_ROWS:
+    if not isinstance(T, int) or T < 16 * max(M, 1) or 2 * M > _HALO_ROWS:
+        return False
+    if C < 128 and T % (128 // C) != 0:
         return False
     if mode == "auto":
         return batch == 1 and jax.default_backend() == "tpu"
@@ -89,24 +92,30 @@ def _std_chain(x: jnp.ndarray, stacks) -> jnp.ndarray:
 
 def _chain_kernel(stacks_meta, Qt: int, dtype, center_ref, halo_ref, *refs):
     """Valid-convolution chain over one VMEM tile (no padding semantics at
-    all — edges are handled by the XLA-side stitching)."""
+    all — edges are handled by the XLA-side stitching).
+
+    stacks_meta rows are (left, right) margins per dilated conv IN ROWS of
+    the tile — samples for the plain layout, blocks for the blocked one;
+    the dilated weight ref carries the per-tap stride in its leading dim
+    (K taps spaced d rows apart in the plain layout; Wq consecutive rows
+    blocked)."""
     n = len(stacks_meta)
     w_refs = refs[: 6 * n]
     out_ref = refs[6 * n]
 
     h = jnp.concatenate([center_ref[0], halo_ref[0]], axis=0)  # (Qt+32, C)
     ref_i = 0
-    for K, d in stacks_meta:
+    for left, right, tap_stride in stacks_meta:
         kd, bd = w_refs[ref_i], w_refs[ref_i + 1]
         k1, b1 = w_refs[ref_i + 2], w_refs[ref_i + 3]
         ks, bs = w_refs[ref_i + 4], w_refs[ref_i + 5]
         ref_i += 6
         t = _leaky(h)
-        Lo = t.shape[0] - (K - 1) * d
+        Lo = t.shape[0] - left - right
         acc = None
-        for j in range(K):
+        for j in range(kd.shape[0]):
             part = jnp.dot(
-                t[j * d : j * d + Lo], kd[j],
+                t[j * tap_stride : j * tap_stride + Lo], kd[j],
                 preferred_element_type=jnp.float32,
             )
             acc = part if acc is None else acc + part
@@ -115,9 +124,10 @@ def _chain_kernel(stacks_meta, Qt: int, dtype, center_ref, halo_ref, *refs):
         t = (
             jnp.dot(t, k1[0], preferred_element_type=jnp.float32) + b1[:]
         ).astype(dtype)
-        m = stack_margin(K, d)
         sk = (
-            jnp.dot(h[m : m + Lo], ks[0], preferred_element_type=jnp.float32)
+            jnp.dot(
+                h[left : left + Lo], ks[0], preferred_element_type=jnp.float32
+            )
             + bs[:]
         ).astype(dtype)
         h = t + sk
@@ -142,31 +152,63 @@ def fused_residual_stacks(
 
     B, T, C = x.shape
     dtype = x.dtype
-    M = sum(stack_margin(kd.shape[0], d) for kd, _, d, *_ in stacks)
-    assert 2 * M <= _HALO_ROWS and T >= 4 * M, (M, T)
 
     stacks = [
         tuple(w.astype(dtype) if hasattr(w, "astype") else w for w in s)
         for s in stacks
     ]
 
-    # sequence edges: the standard chain on 4M-sample slices; rows [0, M)
-    # and [T-M, T) are uncontaminated by the slice's far edge
-    left = _std_chain(x[:, : 4 * M], stacks)[:, :M]
-    right = _std_chain(x[:, -4 * M :], stacks)[:, -M:]
+    # row space: samples for lane-filling widths; for narrow stages view
+    # (B, Q, s*C=128) blocks and turn the convs into block-Toeplitz dense
+    # convs (same trick as ops/fused_mrf.py — exact taps, reordered sums)
+    meta = []
+    flat = []
+    if C >= 128:
+        s = 1
+        xr = x
+        for kd, bd, d, k1, b1, ks, bs in stacks:
+            m = stack_margin(kd.shape[0], d)
+            meta.append((m, m, d))
+            flat += [kd, bd[None, :], k1, b1[None, :], ks, bs[None, :]]
+    else:
+        from fastvocoder_tpu.ops.fused_mrf import (
+            blocked_conv_weight,
+            conv_margins,
+        )
 
-    # interior: valid chain, tiled
-    Ti = T - 2 * M
+        s = 128 // C
+        assert s * C == 128 and T % s == 0, (C, T)
+        xr = x.reshape(B, T // s, 128)
+        for kd, bd, d, k1, b1, ks, bs in stacks:
+            off, right_m = conv_margins(kd.shape[0], d, s)
+            meta.append((off, right_m, 1))
+            flat += [
+                blocked_conv_weight(kd, d, s), jnp.tile(bd, s)[None, :],
+                blocked_conv_weight(k1, 1, s), jnp.tile(b1, s)[None, :],
+                blocked_conv_weight(ks, 1, s), jnp.tile(bs, s)[None, :],
+            ]
+
+    a_tot = sum(m[0] for m in meta)
+    b_tot = sum(m[1] for m in meta)
+    left_n = a_tot * s  # samples the interior misses on each side
+    right_n = b_tot * s
+    M = sum(stack_margin(kd.shape[0], d) for kd, _, d, *_ in stacks)
+    # edge slice length: rows [0, left_n) are exact as long as they sit
+    # more than the receptive+reflect reach (2M) from the slice's far edge
+    L0 = max(left_n, right_n) + 3 * M
+    assert a_tot + b_tot <= _HALO_ROWS and T >= L0, (M, T)
+
+    # sequence edges: the standard chain (reflect pads per stack) on slices
+    left = _std_chain(x[:, :L0], stacks)[:, :left_n]
+    right = _std_chain(x[:, -L0:], stacks)[:, -right_n:]
+
+    # interior: valid chain, tiled over rows
+    Ti = xr.shape[1] - a_tot - b_tot
     Qt = min(tile_q, -(-Ti // 8) * 8)
     Qt = max(_HALO_ROWS, (Qt // _HALO_ROWS) * _HALO_ROWS)
     nQ = -(-Ti // Qt)
-    pad_rows = nQ * Qt + _HALO_ROWS - T
-    xp = jnp.pad(x, ((0, 0), (0, max(0, pad_rows)), (0, 0)))
-
-    meta = [(kd.shape[0], d) for kd, _, d, *_ in stacks]
-    flat = []
-    for kd, bd, d, k1, b1, ks, bs in stacks:
-        flat += [kd, bd[None, :], k1, b1[None, :], ks, bs[None, :]]
+    pad_rows = nQ * Qt + _HALO_ROWS - xr.shape[1]
+    xp = jnp.pad(xr, ((0, 0), (0, max(0, pad_rows)), (0, 0)))
 
     kernel = functools.partial(_chain_kernel, meta, Qt, dtype)
     w_specs = [
@@ -175,27 +217,28 @@ def fused_residual_stacks(
         )
         for w in flat
     ]
+    W = xr.shape[-1]  # row width: C (plain) or 128 (blocked)
     r = Qt // _HALO_ROWS
     out = pl.pallas_call(
         kernel,
         grid=(B, nQ),
         in_specs=[
             pl.BlockSpec(  # center tile: interior rows [q*Qt, q*Qt+Qt)
-                (1, Qt, C), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+                (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(  # halo: the next 32 rows
-                (1, _HALO_ROWS, C),
+                (1, _HALO_ROWS, W),
                 lambda b, q: (b, q * r + r, 0),
                 memory_space=pltpu.VMEM,
             ),
         ]
         + w_specs,
         out_specs=pl.BlockSpec(
-            (1, Qt, C), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+            (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, nQ * Qt, C), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nQ * Qt, W), dtype),
         interpret=interpret,
     )(xp, xp, *flat)
-    interior = out[:, :Ti]
+    interior = out[:, :Ti].reshape(B, Ti * s, C)
 
     return jnp.concatenate([left, interior, right], axis=1)

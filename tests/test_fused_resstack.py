@@ -40,14 +40,14 @@ def _chain(C, x, seed0=0):
     return ref, ws
 
 
-@pytest.mark.parametrize("C,T", [(128, 200), (256, 97)])
+@pytest.mark.parametrize("C,T", [(128, 200), (256, 97), (32, 1024), (64, 512)])
 def test_fused_residual_stacks_matches_modules(C, T):
     rng = np.random.default_rng(C + T)
     x = jnp.asarray(rng.standard_normal((2, T, C)).astype(np.float32) * 0.3)
     ref, ws = _chain(C, x)
     got = fused_residual_stacks(x, ws, tile_q=32, interpret=True)
     assert got.shape == ref.shape
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4)
     # the bulk of rows must be bit-benign (only kink-adjacent rows may move)
     row_err = np.max(np.abs(np.asarray(got) - np.asarray(ref)), axis=(0, 2))
     assert (row_err < 1e-6).mean() > 0.9
