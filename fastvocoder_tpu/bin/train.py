@@ -96,6 +96,10 @@ def run(args):
     is_main = is_main_process()
 
     cfg = load_model_config(args.model_name, args.config)
+    if getattr(args, "use_mpd", -1) >= 0:  # CLI overrides the YAML key
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, use_mpd=bool(args.use_mpd))
     hp = HP.replace(
         use_feature_map_loss=cfg.use_feature_map_loss,
         batch_size=getattr(args, "batch_size", HP.batch_size),
@@ -454,6 +458,10 @@ def run_train(argv=None):
     parser.add_argument("--valid_num", type=int, default=HP.valid_num)
     parser.add_argument("--discriminator_train_start_steps", type=int,
                         default=HP.discriminator_train_start_steps)
+    parser.add_argument("--use_mpd", type=int, default=-1,
+                        help="add HiFiGAN's multi-period discriminator to "
+                             "the composite (1/0; -1 = take the YAML "
+                             "`use_mpd` key, default off like the reference)")
     args = parser.parse_args(argv)
     run(args)
 

@@ -58,6 +58,10 @@ def frame_signal(
     with the scatter-free step-chunked overlap-add (`ops/overlap_add.py`).
     Measured on v5e (batch 32 x 33600 samples, 3 loss resolutions):
     MR-STFT loss fwd+bwd 29.9 -> 16.4 ms; full GAN train step 298 -> 273 ms.
+
+    Reverse-mode only: the custom_vjp makes jax.jvp/jacfwd through this op
+    (and stft_complex/istft above it) raise.  The op is linear, so if
+    forward-mode is ever needed the JVP is frame_signal of the tangent.
     """
     idx = jnp.asarray(_frame_indices(num_frames, n_fft, hop))
     return x[..., idx]
@@ -74,6 +78,12 @@ def _frame_signal_bwd(num_frames, n_fft, hop, T, g):
     covered = out.shape[-1]
     if covered < T:  # trailing samples no frame reads get zero gradient
         out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, T - covered)])
+    elif covered > T:
+        # frames overran the signal: the forward gather clamped out-of-range
+        # indices, so cotangent mass past T belongs to the clamped reads of
+        # sample T-1; dropping it matches the clamp only approximately, but
+        # keeps the shape contract for callers that over-specify num_frames
+        out = out[..., :T]
     return (out,)
 
 

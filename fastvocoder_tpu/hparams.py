@@ -223,6 +223,10 @@ class ModelConfig:
     lambda_stft: float = 5.0
     multiband: bool = False
     use_feature_map_loss: bool = True
+    # enable HiFiGAN's multi-period discriminator in the composite
+    # (the reference implements MPD but leaves it unwired,
+    # reference model/discriminator/discriminator.py:11,16)
+    use_mpd: bool = False
     raw: dict = field(default_factory=dict, repr=False)
 
 
@@ -248,6 +252,7 @@ def load_model_config(model_name: str, config_path: str) -> ModelConfig:
     lambda_stft = raw.get("lambda_stft", raw.get("lamda_stft", HP.lambda_stft))
     multiband = bool(raw.get("multiband", False))
     use_fm = bool(raw.get("use_feature_map_loss", True))
+    use_mpd = bool(raw.get("use_mpd", False))
 
     if model_name == "melgan":
         arch = MelGANConfig(
@@ -309,5 +314,6 @@ def load_model_config(model_name: str, config_path: str) -> ModelConfig:
         lambda_stft=float(lambda_stft),
         multiband=multiband,
         use_feature_map_loss=use_fm,
+        use_mpd=use_mpd,
         raw=raw,
     )

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from fastvocoder_tpu.ops.fused_resstack import stack_margin
 from fastvocoder_tpu.ops.conv import (
     conv1d,
     conv1d_phase_packed,
@@ -266,7 +267,10 @@ class ResidualStack(nn.Module):
         pad = (self.kernel_size - 1) * self.dilation
         h = leaky_relu(c, self.negative_slope)
         if not self.use_causal_conv:
-            h = reflect_pad1d(h, pad // 2)
+            # stack_margin, not pad // 2: identical for odd kernels (the only
+            # supported case, reference modules.py:352) but kept as the one
+            # expression the fused-path gate and edge stitching also use
+            h = reflect_pad1d(h, stack_margin(self.kernel_size, self.dilation))
             h = _apply_conv1d(h, kd, bd, dilation=self.dilation, compute_dtype=dt)
         else:
             # causal: reflect-pad (k-1)*d both sides, keep the first T

@@ -9,7 +9,6 @@ from fastvocoder_tpu.parallel.mesh import (
     compile_train_step,
     compile_train_step_no_weight,
     make_mesh,
-    pad_batch_to_devices,
     replicate_state,
     replicated,
     shard_batch,
@@ -24,7 +23,6 @@ __all__ = [
     "make_mesh",
     "maybe_initialize_distributed",
     "multihost_env_requested",
-    "pad_batch_to_devices",
     "replicate_state",
     "replicated",
     "shard_batch",

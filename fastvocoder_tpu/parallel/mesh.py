@@ -13,7 +13,7 @@ test suite and the driver's multi-chip dry-run validate it without hardware.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import numpy as np
@@ -104,16 +104,3 @@ def compile_train_step_no_weight(
         donate_argnums=(0,) if donate_state else (),
     )
 
-
-def pad_batch_to_devices(batch: dict, n: int) -> Tuple[dict, int]:
-    """Pad dim 0 of every array to a multiple of n (repeat-edge) so a batch
-    divides the mesh; returns (batch, original_size)."""
-    b = next(iter(batch.values())).shape[0]
-    rem = (-b) % n
-    if rem == 0:
-        return batch, b
-    out = {
-        k: np.concatenate([v, np.repeat(v[-1:], rem, axis=0)], axis=0)
-        for k, v in batch.items()
-    }
-    return out, b

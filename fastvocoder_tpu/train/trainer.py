@@ -367,6 +367,11 @@ def make_trainer(
     generator = build_generator(
         cfg, basis_signal_weight=basis_signal_weight, compute_dtype=compute_dtype
     )
+    if cfg.use_mpd and not disc_cfg.use_mpd:
+        # YAML `use_mpd: True` reaches training through the model config
+        # (the reference's MPD is implemented but unwired,
+        # reference model/discriminator/discriminator.py:16)
+        disc_cfg = dataclasses.replace(disc_cfg, use_mpd=True)
     discriminator = build_discriminator(
         disc_cfg=disc_cfg, compute_dtype=compute_dtype
     )
