@@ -13,11 +13,18 @@ frames*, is small — the stem conv (k=7) plus per-stage dilated stacks whose
 dilation grows in upsampled time, shrinking back to a few frames of mel
 context.  `DEFAULT_HALO=32` frames (~0.32 s) exceeds all four architectures'
 fields; tests/test_streaming.py verifies exactness against the full pass.
+
+Basis-MelGAN streams natively: its raw decode emits `frames * hop + L/2`
+samples (the final overlap-add ramp, reference bin/test.py:85-88 trims it)
+— `tail_samples=L//2` absorbs the ramp per chunk, and the published
+checkpoint's `pattern` zero-mel bias (reference bin/publish.py:67-75) is
+subtracted position-aligned as the stream advances.  Use
+`StreamingSynthesizer.for_model(...)` to get the right wiring per family.
 """
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import numpy as np
 
@@ -27,9 +34,15 @@ DEFAULT_HALO = 32
 class StreamingSynthesizer:
     """Wraps a jitted mel->wav function with fixed-chunk streaming.
 
-    `forward(params, mel (1, T, C)) -> wav (1, T * samples_per_frame)` must
-    be length-preserving in frames (true for melgan/hifigan/multiband's
-    synthesize; for basis-melgan use the trimmed train-style decode).
+    `forward(params, mel (1, T, C)) -> wav (1, T * samples_per_frame
+    + tail_samples)`.  All shipped generators are frame-length-preserving
+    (`tail_samples=0`) except Basis-MelGAN's raw decode, whose final
+    overlap-add ramp adds `L//2` samples (`tail_samples=L//2`).
+
+    `pattern`, when given, is the model's zero-mel response (the published
+    checkpoint's `pattern` key, reference bin/publish.py:71-74) and is
+    subtracted from the stream position-aligned — the streaming equivalent
+    of the reference's `est - pattern[:len(est)]` (bin/test.py:85-91).
     """
 
     def __init__(
@@ -39,6 +52,8 @@ class StreamingSynthesizer:
         samples_per_frame: int,
         chunk_frames: int = 256,
         halo_frames: int = DEFAULT_HALO,
+        tail_samples: int = 0,
+        pattern: Optional[np.ndarray] = None,
     ):
         import jax
 
@@ -47,12 +62,53 @@ class StreamingSynthesizer:
         self.spf = samples_per_frame
         self.chunk = chunk_frames
         self.halo = halo_frames
+        self.tail = tail_samples
+        self.pattern = None if pattern is None else np.asarray(pattern)
+
+    @classmethod
+    def for_model(
+        cls,
+        generator,
+        params,
+        model_name: str,
+        hop_size: int = 240,
+        pattern: Optional[np.ndarray] = None,
+        **kw,
+    ) -> "StreamingSynthesizer":
+        """Model-aware wiring: picks the forward method, samples/frame, and
+        Basis-MelGAN's `tail_samples` trim so every family streams out of
+        the box (incl. the flagship basis-melgan, whose raw decode is not
+        frame-length-preserving)."""
+        if model_name == "basis-melgan":
+            fwd = lambda p, m: generator.apply(
+                {"params": p}, m, method=generator.inference
+            )
+            L = generator.cfg.L
+            return cls(
+                fwd, params, samples_per_frame=hop_size,
+                tail_samples=L // 2, pattern=pattern, **kw,
+            )
+        if model_name == "multiband-hifigan":
+            fwd = lambda p, m: generator.apply(
+                {"params": p}, m, method=generator.synthesize
+            )
+        else:  # melgan / hifigan / nhv
+            fwd = lambda p, m: generator.apply({"params": p}, m)
+        return cls(
+            fwd, params, samples_per_frame=hop_size, pattern=pattern, **kw
+        )
 
     def __call__(self, mel: np.ndarray) -> np.ndarray:
         """mel (T, C) -> wav (T * samples_per_frame,). One compiled program
         regardless of T."""
         T = mel.shape[0]
         h, c = self.halo, self.chunk
+        if self.pattern is not None and self.pattern.shape[0] < T * self.spf:
+            raise ValueError(
+                f"pattern covers {self.pattern.shape[0]} samples but the "
+                f"utterance needs {T * self.spf}; publish with a longer "
+                "zero-mel (reference supports 300 s, bin/publish.py:69)"
+            )
         out = np.zeros((T * self.spf,), dtype=np.float32)
         start = 0
         while start < T:
@@ -73,16 +129,18 @@ class StreamingSynthesizer:
                 piece = np.pad(piece, ((0, step), (0, 0)), mode="reflect")
                 pad = want - piece.shape[0]
             wav = np.asarray(self.forward(self.params, piece[None]))[0]
-            if wav.shape[0] != want * self.spf:
+            if wav.shape[0] != want * self.spf + self.tail:
                 raise ValueError(
-                    f"forward is not frame-length-preserving: {want} frames "
-                    f"-> {wav.shape[0]} samples (expected {want * self.spf}). "
-                    "basis-melgan's raw decode emits (F+1)*hop samples; wrap "
-                    "it with a [:T*spf] trim before streaming."
+                    f"forward emitted {wav.shape[0]} samples for {want} "
+                    f"frames (expected {want * self.spf + self.tail}); pass "
+                    "tail_samples=L//2 for basis-melgan's raw decode or use "
+                    "StreamingSynthesizer.for_model"
                 )
             # trim halo + tail padding back out
             a = (start - lo) * self.spf
             b = a + (end - start) * self.spf
             out[start * self.spf : end * self.spf] = wav[a:b]
             start = end
+        if self.pattern is not None:
+            out = out - self.pattern[: out.shape[0]]
         return out

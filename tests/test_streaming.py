@@ -82,12 +82,62 @@ def test_streaming_very_short_input_large_chunk(rng):
 
 
 def test_streaming_rejects_non_length_preserving(rng):
-    """basis-melgan's raw decode emits (F+1)*hop samples; the streamer must
-    fail loudly, not mis-stitch."""
+    """A forward whose output length doesn't match the declared contract
+    (spf * frames + tail_samples) must fail loudly, not mis-stitch."""
     fwd = lambda p, m: np.zeros((1, (m.shape[1] + 1) * 240), np.float32)
     s = StreamingSynthesizer(
         fwd, None, samples_per_frame=240, chunk_frames=32, halo_frames=4
     )
     mel = rng.standard_normal((16, 80)).astype(np.float32)
-    with pytest.raises(ValueError, match="frame-length-preserving"):
+    with pytest.raises(ValueError, match="forward emitted"):
         s(mel)
+
+
+def test_streaming_basis_melgan_native(rng):
+    """The flagship model streams out of the box via for_model: the raw
+    decode's L/2 overlap-add tail is absorbed per chunk and the published
+    `pattern` zero-mel bias is subtracted position-aligned (reference trim
+    + pattern semantics, bin/test.py:85-88)."""
+    from fastvocoder_tpu.hparams import BasisMelGANConfig
+
+    cfg = ModelConfig(
+        model_name="basis-melgan",
+        arch=BasisMelGANConfig(out_channels=16, channels=(16, 16, 16)),
+    )
+    gen = build_generator(
+        cfg, basis_signal_weight=rng.standard_normal((30, 16)).astype(np.float32)
+    )
+    params = jax.jit(gen.init)(
+        jax.random.PRNGKey(2), np.zeros((1, 8, 80), np.float32)
+    )["params"]
+
+    T, spf = 150, 240
+    mel = rng.standard_normal((T, 80)).astype(np.float32)
+    raw = lambda m: np.asarray(
+        jax.jit(
+            lambda p, x: gen.apply({"params": p}, x, method=gen.inference)
+        )(params, m[None])
+    )[0]
+    # published-pattern protocol: raw inference on a long zero mel
+    pattern = raw(np.zeros((256, 80), np.float32))
+    full = raw(mel)[: T * spf] - pattern[: T * spf]
+
+    s = StreamingSynthesizer.for_model(
+        gen, params, "basis-melgan", chunk_frames=64, halo_frames=16,
+        pattern=pattern,
+    )
+    streamed = s(mel)
+
+    assert streamed.shape == full.shape
+    edge = 16 * spf
+    np.testing.assert_allclose(
+        streamed[edge:-edge], full[edge:-edge], atol=1e-5, rtol=1e-5
+    )
+
+    # pattern shorter than the utterance -> explicit error, not silent drift
+    s_short = StreamingSynthesizer.for_model(
+        gen, params, "basis-melgan", chunk_frames=64, halo_frames=16,
+        pattern=pattern[: 100 * spf],
+    )
+    with pytest.raises(ValueError, match="pattern covers"):
+        s_short(mel)
