@@ -28,6 +28,18 @@ from fastvocoder_tpu.models.layers import (
 )
 
 
+_fallback_warned = set()
+
+
+def _warn_fallback(msg: str):
+    """One warning per distinct reason (trace time only, not per step)."""
+    if msg not in _fallback_warned:
+        _fallback_warned.add(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
+
+
 def _fused_mrf_mode() -> str:
     """FASTVOCODER_FUSED_MRF: "auto" (default; Pallas kernel on TPU),
     "1" (force compiled kernel), "interpret" (force interpreter — CPU
@@ -49,6 +61,18 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
     if mode == "0" or weight_norm or cfg.resblock_type != "1":
         return False
     if ch not in (16, 32) or not isinstance(T, int) or T % (128 // ch) != 0:
+        if (
+            ch in (16, 32)
+            and isinstance(T, int)
+            and T % (128 // ch) != 0
+        ):
+            # an otherwise-eligible stage quietly losing the fast path is
+            # the kind of silent perf cliff VERDICT flagged — say so once
+            _warn_fallback(
+                f"fused MRF stage skipped: C={ch} needs T % {128 // ch} == 0 "
+                f"(got T={T}); bucket mel lengths (e.g. Synthesizer's "
+                "64-frame buckets) to keep the fast path"
+            )
         return False
     if ch == 32 and batch == 1 and mode == "auto":
         return False

@@ -33,6 +33,18 @@ from fastvocoder_tpu.ops.conv import conv1d, reflect_pad1d
 _HALO_ROWS = 32  # one halo block; must be >= 2*M and a multiple of 8
 
 
+_fallback_warned = set()
+
+
+def _warn_fallback(msg: str):
+    """One warning per distinct reason (trace time only, not per step)."""
+    if msg not in _fallback_warned:
+        _fallback_warned.add(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
+
+
 def fused_stacks_mode() -> str:
     """FASTVOCODER_FUSED_STACKS: "auto" (default; Pallas kernel on TPU),
     "1" (force compiled), "interpret" (CPU tests), "0" (off)."""
@@ -60,6 +72,11 @@ def use_fused_stacks(
     if not isinstance(T, int) or T < 16 * max(M, 1) or 2 * M > _HALO_ROWS:
         return False
     if C < 128 and T % (128 // C) != 0:
+        _warn_fallback(
+            f"fused residual-stack chain skipped: C={C} needs "
+            f"T % {128 // C} == 0 (got T={T}); bucket mel lengths to keep "
+            "the fast path"
+        )
         return False
     if mode == "auto":
         return batch == 1 and jax.default_backend() == "tpu"

@@ -81,7 +81,46 @@ def make_generator_goldens():
     np.savez_compressed(os.path.join(GOLDENS, "generator_goldens.npz"), **out)
 
 
+def make_synthesize_golden():
+    """End-to-end driver golden on real speech: wav -> mel (our DSP) ->
+    reference-layout checkpoint round-trip -> Synthesizer (weight-norm fuse,
+    64-frame bucketing, zero-mel bias removal).  The source wav is stored in
+    the npz so the quality gate runs without /root/reference mounted."""
+    import tempfile
+
+    import jax
+
+    from fastvocoder_tpu.bin.synthesize import Synthesizer
+    from fastvocoder_tpu.dsp import audio
+    from fastvocoder_tpu.hparams import load_model_config
+    from fastvocoder_tpu.models.factory import build_generator
+    from fastvocoder_tpu.train.checkpoint import save_checkpoint
+
+    src = "/root/reference/resource/demo/ljspeech/0.wav"
+    wav = audio.load_wav(src, encode=False)[: 36 * 2400]  # 3.6 s @ 24 kHz
+    mel = audio.melspectrogram(wav).astype(np.float32)  # (80, T)
+
+    conf = os.path.join(ROOT, "conf", "hifigan", "light.yaml")
+    cfg = load_model_config("hifigan", conf)
+    gen = build_generator(cfg)
+    params = jax.jit(gen.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 8, 80), np.float32)
+    )["params"]
+    with tempfile.TemporaryDirectory() as d:
+        ckpt = os.path.join(d, "ckpt.pth.tar")
+        save_checkpoint(ckpt, cfg, params)
+        syn = Synthesizer(ckpt, conf, "hifigan", bucket_frames=64)
+        est, est_remove, bias = syn.synthesize(mel.T)
+    np.savez_compressed(
+        os.path.join(GOLDENS, "synthesize_golden.npz"),
+        wav=wav.astype(np.float32), mel=mel,
+        est=est.astype(np.float32), bias=bias.astype(np.float32),
+    )
+    print("synthesize_golden.npz:", mel.shape, est.shape)
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDENS, exist_ok=True)
     make_mel_golden()
     make_generator_goldens()
+    make_synthesize_golden()
