@@ -33,12 +33,40 @@ def encode_16bits(x: np.ndarray, rescale_out: float = 1.0) -> np.ndarray:
     return x.astype(np.int16)
 
 
+# librosa/resampy "kaiser_best" design constants: 64 zero crossings,
+# Kaiser beta 14.77, 0.9476 roll-off.  scipy's default resample_poly window
+# (Kaiser beta 5) measures only ~29 dB SNR against analytic ground truth on
+# the 22.05 -> 24 kHz path; this filter measures ~75-153 dB
+# (tests/test_mel.py::test_resample_quality_vs_analytic).
+_KAISER_BEST = dict(zeros=64, beta=14.769656459379492, rolloff=0.9475937167399596)
+_resample_filter_cache: dict = {}
+
+
+def resample(x: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resample with a librosa-kaiser_best-class filter."""
+    if sr == target_sr:
+        return np.asarray(x, dtype=np.float32)
+    g = np.gcd(int(sr), int(target_sr))
+    up, down = target_sr // g, sr // g
+    key = (up, down)
+    h = _resample_filter_cache.get(key)
+    if h is None:
+        kb = _KAISER_BEST
+        ntaps = 2 * kb["zeros"] * max(up, down) + 1
+        h = scipy.signal.firwin(
+            ntaps, kb["rolloff"] / max(up, down), window=("kaiser", kb["beta"])
+        )
+        _resample_filter_cache[key] = h
+    return scipy.signal.resample_poly(x, up, down, window=h).astype(np.float32)
+
+
 def load_wav(filename: str, sample_rate: int = 24000, encode: bool = True) -> np.ndarray:
     """Load + resample to `sample_rate`, float32 in [-1, 1] (librosa.load parity).
 
-    Uses scipy for decoding and polyphase resampling (librosa is not a
-    dependency); resampler choice only affects preprocessing, not parity of
-    the in-graph pipeline.
+    Uses scipy for decoding and a kaiser_best-grade polyphase resampler
+    (librosa is not a dependency; the filter matches resampy's kaiser_best
+    design constants, so preprocessed artifacts from original-rate audio
+    interchange with reference-preprocessed ones to resampler tolerance).
     """
     sr, data = scipy.io.wavfile.read(filename)
     if data.dtype == np.int16:
@@ -52,8 +80,7 @@ def load_wav(filename: str, sample_rate: int = 24000, encode: bool = True) -> np
     if x.ndim > 1:
         x = x.mean(axis=1)
     if sr != sample_rate:
-        g = np.gcd(int(sr), int(sample_rate))
-        x = scipy.signal.resample_poly(x, sample_rate // g, sr // g).astype(np.float32)
+        x = resample(x, sr, sample_rate)
     if encode:
         x = encode_16bits(x)
     return x
