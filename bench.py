@@ -149,6 +149,40 @@ def bench_rtf(fwd, params, mels: np.ndarray) -> float:
     return best / (REPEATS * duration)
 
 
+def bench_rtf_on_device(fwd, params, mels: np.ndarray) -> float:
+    """Chip-latency RTF: the ENTIRE 10-pass protocol — lax.fori_loop over
+    repeats of a lax.scan over the pre-staged utterances, batch 1 each — is
+    ONE compiled program, so per-call dispatch latency over the remote link
+    (which dominates `bench_rtf`'s sequential numbers, docs/PERF.md) is
+    excluded.  This is the on-device answer to the reference's protocol
+    (reference bin/test.py:123-132); both rows are reported."""
+    import jax
+    import jax.numpy as jnp
+
+    mels_dev = jax.device_put(mels)  # (N, T, C), equal lengths
+
+    def protocol(p, ms):
+        def utt(acc, m):
+            return acc + jnp.sum(fwd(p, m[None])), None
+
+        def rep(i, acc):
+            a, _ = jax.lax.scan(utt, acc, ms)
+            return a
+
+        return jax.lax.fori_loop(0, REPEATS, rep, jnp.float32(0))
+
+    prog = jax.jit(protocol)
+    float(prog(params, mels_dev))  # compile + settle
+
+    duration = mels.shape[0] * mels.shape[1] * HOP / SAMPLE_RATE
+    best = float("inf")
+    for _ in range(3):
+        start = time.perf_counter()
+        float(prog(params, mels_dev))  # scalar fetch forces completion
+        best = min(best, time.perf_counter() - start)
+    return best / (REPEATS * duration)
+
+
 def bench_batched(fwd, params, mels: np.ndarray, repeats: int = 10) -> float:
     """Serving throughput: one compiled program over the whole utterance
     batch; returns x-realtime (audio seconds produced per wall second).
@@ -192,6 +226,11 @@ def main():
         vs = round(baseline / rtf, 2) if baseline else None
         extras[key] = {"rtf": round(rtf, 6), "vs_baseline": vs}
         print(f"{key}: rtf={rtf:.6f} vs_baseline={vs}", file=sys.stderr)
+        if key in ("basis_melgan_rtf", "hifigan_light_rtf"):
+            # chip-latency variant: the whole protocol as one program
+            rtf_dev = bench_rtf_on_device(fwd, params, prep(mels))
+            extras[key]["rtf_on_device"] = round(rtf_dev, 6)
+            print(f"{key}_on_device: rtf={rtf_dev:.6f}", file=sys.stderr)
         if key == "basis_melgan_rtf":
             headline = (rtf, baseline)
             # batched serving throughput on the flagship (north star >100x)
