@@ -56,13 +56,14 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
     The C=32 stage is gated to batch >= 2: isolated it wins at any batch
     (1.9x at B=1), but at whole-model batch-1 the stage-boundary passes it
     un-fuses from cost more than its margin (hifigan-large 10.0 -> 11.7
-    ms/utt measured); C=16's 2.8x margin absorbs that."""
+    ms/utt measured); C=16's 2.8x margin absorbs that.  C=64 (s=2 blocked
+    layout) follows the same batch >= 2 gate."""
     mode = _fused_mrf_mode()
     if mode == "0" or weight_norm or cfg.resblock_type != "1":
         return False
-    if ch not in (16, 32) or not isinstance(T, int) or T % (128 // ch) != 0:
+    if ch not in (16, 32, 64) or not isinstance(T, int) or T % (128 // ch) != 0:
         if (
-            ch in (16, 32)
+            ch in (16, 32, 64)
             and isinstance(T, int)
             and T % (128 // ch) != 0
         ):
@@ -74,7 +75,7 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
                 "64-frame buckets) to keep the fast path"
             )
         return False
-    if ch == 32 and batch == 1 and mode == "auto":
+    if ch in (32, 64) and batch == 1 and mode == "auto":
         return False
     if mode == "auto":
         return jax.default_backend() == "tpu"

@@ -292,6 +292,7 @@ def apply_residual_stacks(x, cfg, compute_dtype, stack_modules):
     from fastvocoder_tpu.ops.fused_resstack import (
         fused_residual_stacks,
         fused_stacks_mode,
+        fused_train_mode,
         stack_margin,
         use_fused_stacks,
     )
@@ -312,9 +313,10 @@ def apply_residual_stacks(x, cfg, compute_dtype, stack_modules):
             ))
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
-        return fused_residual_stacks(
-            x, tuples, interpret=fused_stacks_mode() == "interpret"
+        mode = (
+            fused_train_mode() if cfg.use_weight_norm else fused_stacks_mode()
         )
+        return fused_residual_stacks(x, tuples, interpret=mode == "interpret")
     for m in stack_modules:
         x = m(x)
     return x

@@ -168,13 +168,13 @@ def _mrf_kernel(
 def fused_mrf_stage(
     x: jnp.ndarray,
     resblocks: Sequence[Sequence[Tuple[jnp.ndarray, jnp.ndarray, int, jnp.ndarray, jnp.ndarray]]],
-    tile_q: int = 1024,  # measured best on v5e (256/512/1024 swept; 2048 OOMs VMEM)
+    tile_q: int = 0,  # 0 = pick by width (measured best on v5e; 2048 OOMs VMEM)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run a whole HiFiGAN MRF stage as one fused Pallas program.
 
-    x: (B, T, C) stage input (post-upsample), C in {16, 32} (s*C == 128),
-       T % s == 0.
+    x: (B, T, C) stage input (post-upsample), C in {16, 32, 64}
+       (s*C == 128), T % s == 0.
     resblocks: per resblock, a list of (kernel1, bias1, dilation, kernel2,
        bias2) for each (dilated conv, dilation-1 conv) pair — the effective
        (weight-norm applied) kernels in (K, C, C) layout, biases (C,).
@@ -189,6 +189,10 @@ def fused_mrf_stage(
     assert s * C == 128 and T % s == 0, (C, T)
     Q = T // s
     dtype = x.dtype
+    if tile_q <= 0:
+        # C=64's block-Toeplitz weights alone are ~9 MB f32 (Wq up to 27 at
+        # k=11 d=5 with s=2); halve the tile so tiles + weights fit VMEM
+        tile_q = 1024 if C <= 32 else 512
 
     meta = []
     flat_weights = []

@@ -53,11 +53,24 @@ def fused_stacks_mode() -> str:
     return os.environ.get("FASTVOCODER_FUSED_STACKS", "auto")
 
 
+def fused_train_mode() -> str:
+    """FASTVOCODER_FUSED_TRAIN: route the TRAINING graph (weight_norm form)
+    through the fused chain — its interior op carries a hand-written
+    backward kernel (custom_vjp below).  "0" (default until measured wins
+    are recorded in docs/PERF.md), "1" (on), "interpret" (CPU tests)."""
+    import os
+
+    return os.environ.get("FASTVOCODER_FUSED_TRAIN", "0")
+
+
 def use_fused_stacks(
     weight_norm: bool, use_causal: bool, C: int, T, M: int, batch=1
 ) -> bool:
-    """Gate: inference graph only (no Pallas autodiff), non-causal reflect
-    semantics, MXU-lane-filling widths, and room for the edge slices.
+    """Gate: non-causal reflect semantics, MXU-lane-filling widths, and
+    room for the edge slices.  The weight_norm (training) form routes to
+    the same kernel only under FASTVOCODER_FUSED_TRAIN — the interior op
+    has a custom-VJP backward kernel, and effective g*v/|v| kernels are
+    differentiable XLA code outside the Pallas call.
 
     Batch-1 only under "auto": measured on v5e (basis-melgan light,
     585-frame utterances) the kernel wins single-utterance latency 1.21x
@@ -66,6 +79,15 @@ def use_fused_stacks(
     better pipelined; the same latency/throughput crossover as
     `ops/basis_decode.py`.  Narrow stages (C = 32/64) run in the blocked
     (B, Q, s*C=128) layout like ops/fused_mrf.py."""
+    if weight_norm:
+        tmode = fused_train_mode()
+        if tmode not in ("1", "interpret") or use_causal:
+            return False
+        if C not in (32, 64, 128, 256):
+            return False
+        if not isinstance(T, int) or T < 16 * max(M, 1) or 2 * M > _HALO_ROWS:
+            return False
+        return not (C < 128 and T % (128 // C) != 0)
     mode = fused_stacks_mode()
     if mode == "0" or weight_norm or use_causal or C not in (32, 64, 128, 256):
         return False
@@ -151,6 +173,264 @@ def _chain_kernel(stacks_meta, Qt: int, dtype, center_ref, halo_ref, *refs):
     out_ref[0] = h[:Qt]
 
 
+# ---------------------------------------------------------------------------
+# Interior op with a hand-written backward kernel (custom_vjp)
+# ---------------------------------------------------------------------------
+
+
+def _run_interior_fwd(xp, flat, meta, Qt, interpret):
+    """The forward Pallas call (valid chain over tiles).  xp rows must be
+    nQ * Qt + _HALO_ROWS; returns the (B, nQ*Qt, W) out buffer."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, R, W = xp.shape
+    nQ = (R - _HALO_ROWS) // Qt
+    dtype = xp.dtype
+    kernel = functools.partial(_chain_kernel, meta, Qt, dtype)
+    w_specs = [
+        pl.BlockSpec(
+            w.shape, lambda b, q, n=w.ndim: (0,) * n, memory_space=pltpu.VMEM
+        )
+        for w in flat
+    ]
+    r = Qt // _HALO_ROWS
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nQ),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, _HALO_ROWS, W),
+                lambda b, q: (b, q * r + r, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + w_specs,
+        out_specs=pl.BlockSpec(
+            (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, nQ * Qt, W), dtype),
+        interpret=interpret,
+    )(xp, xp, *flat)
+
+
+def _chain_bwd_kernel(
+    stacks_meta, Qt: int, g_ref, center_ref, halo_ref, *refs
+):
+    """Backward of the valid chain over one tile, all in f32 from VMEM.
+
+    Recomputes the forward intermediates from the x tile (center + the
+    following _HALO_ROWS, exactly the forward's inputs), then runs the
+    adjoint chain from the tile's own g rows.  dx rows [0, Qt) are complete
+    for this tile; rows [Qt, Qt+_HALO_ROWS) are the RIGHT CARRY — they
+    belong to the next tile's center and are summed in XLA afterwards
+    (out rows only ever reach x rows to their right in this convention).
+    dW is accumulated across the sequential TPU grid (init on the first
+    iteration)."""
+    from jax.experimental import pallas as pl
+
+    n = len(stacks_meta)
+    w_refs = refs[: 6 * n]
+    dx_ref = refs[6 * n]
+    carry_ref = refs[6 * n + 1]
+    dw_refs = refs[6 * n + 2 :]
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    x = jnp.concatenate([center_ref[0], halo_ref[0]], axis=0).astype(
+        jnp.float32
+    )  # (E, W)
+
+    # forward recompute, keeping per-stack inputs and pre-activation t2
+    hs, t2s = [], []
+    h = x
+    for (left, right, ts_), i in zip(stacks_meta, range(n)):
+        kd = w_refs[6 * i][...].astype(jnp.float32)
+        bd = w_refs[6 * i + 1][...].astype(jnp.float32)
+        k1 = w_refs[6 * i + 2][...].astype(jnp.float32)
+        b1 = w_refs[6 * i + 3][...].astype(jnp.float32)
+        ks = w_refs[6 * i + 4][...].astype(jnp.float32)
+        bs = w_refs[6 * i + 5][...].astype(jnp.float32)
+        hs.append(h)
+        t1 = _leaky(h)
+        Lo = h.shape[0] - left - right
+        acc = None
+        for j in range(kd.shape[0]):
+            part = jnp.dot(
+                t1[j * ts_ : j * ts_ + Lo], kd[j],
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        t2 = acc + bd
+        t2s.append(t2)
+        h = (
+            jnp.dot(_leaky(t2), k1[0], preferred_element_type=jnp.float32)
+            + b1
+            + jnp.dot(h[left : left + Lo], ks[0], preferred_element_type=jnp.float32)
+            + bs
+        )
+
+    def lmask(v, slope=0.2):
+        return jnp.where(v >= 0, 1.0, slope)
+
+    # adjoint chain; dh starts as g on the tile's out rows, zero beyond
+    g = g_ref[0].astype(jnp.float32)  # (Qt, W)
+    dh = jnp.pad(g, ((0, h.shape[0] - Qt), (0, 0)))
+    dws = []
+    for i in reversed(range(n)):
+        left, right, ts_ = stacks_meta[i]
+        kd = w_refs[6 * i][...].astype(jnp.float32)
+        k1 = w_refs[6 * i + 2][...].astype(jnp.float32)
+        ks = w_refs[6 * i + 4][...].astype(jnp.float32)
+        h_in = hs[i]
+        t2 = t2s[i]
+        Lh = h_in.shape[0]
+        Lo = Lh - left - right
+        d_out = dh  # (Lo, W)
+        t1 = _leaky(h_in)
+        t3 = _leaky(t2)
+
+        dk1 = jnp.dot(t3.T, d_out, preferred_element_type=jnp.float32)[None]
+        db1 = jnp.sum(d_out, axis=0)[None]
+        dt2 = jnp.dot(
+            d_out, k1[0].T, preferred_element_type=jnp.float32
+        ) * lmask(t2)
+        dkd = jnp.stack([
+            jnp.dot(
+                t1[j * ts_ : j * ts_ + Lo].T, dt2,
+                preferred_element_type=jnp.float32,
+            )
+            for j in range(kd.shape[0])
+        ])
+        dbd = jnp.sum(dt2, axis=0)[None]
+        dks = jnp.dot(
+            h_in[left : left + Lo].T, d_out, preferred_element_type=jnp.float32
+        )[None]
+        dbs = jnp.sum(d_out, axis=0)[None]
+
+        dt1 = None
+        for j in range(kd.shape[0]):
+            part = jnp.pad(
+                jnp.dot(dt2, kd[j].T, preferred_element_type=jnp.float32),
+                ((j * ts_, Lh - j * ts_ - Lo), (0, 0)),
+            )
+            dt1 = part if dt1 is None else dt1 + part
+        dh = dt1 * lmask(h_in) + jnp.pad(
+            jnp.dot(d_out, ks[0].T, preferred_element_type=jnp.float32),
+            ((left, right), (0, 0)),
+        )
+        dws = [dkd, dbd, dk1, db1, dks, dbs] + dws
+
+    dx_ref[0] = dh[:Qt].astype(dx_ref.dtype)
+    carry_ref[0] = dh[Qt:].astype(carry_ref.dtype)
+
+    @pl.when(first)
+    def _init():
+        for ref, val in zip(dw_refs, dws):
+            ref[...] = val.astype(ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        for ref, val in zip(dw_refs, dws):
+            ref[...] += val.astype(ref.dtype)
+
+
+def _run_interior_bwd(xp, flat, g_buf, meta, Qt, interpret):
+    """Backward Pallas call: returns (dxp, dflat) for the interior op."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, R, W = xp.shape
+    nQ = (R - _HALO_ROWS) // Qt
+    r = Qt // _HALO_ROWS
+    kernel = functools.partial(_chain_bwd_kernel, meta, Qt)
+    w_specs = [
+        pl.BlockSpec(
+            w.shape, lambda b, q, n=w.ndim: (0,) * n, memory_space=pltpu.VMEM
+        )
+        for w in flat
+    ]
+    dw_specs = [
+        pl.BlockSpec(
+            w.shape, lambda b, q, n=w.ndim: (0,) * n, memory_space=pltpu.VMEM
+        )
+        for w in flat
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, nQ),
+        in_specs=[
+            pl.BlockSpec(  # cotangent, this tile's out rows
+                (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(  # x center
+                (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(  # x right halo
+                (1, _HALO_ROWS, W),
+                lambda b, q: (b, q * r + r, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + w_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, _HALO_ROWS, W),
+                lambda b, q: (b, q, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + dw_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nQ * Qt, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, nQ * _HALO_ROWS, W), jnp.float32),
+        ]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat],
+        interpret=interpret,
+    )(g_buf, xp, xp, *flat)
+
+    main, carry = outs[0], outs[1]
+    dflat = tuple(
+        d.astype(w.dtype) for d, w in zip(outs[2:], flat)
+    )
+    # fold the right carries into the next tile's center rows; the last
+    # tile's carry covers xp's trailing _HALO_ROWS rows
+    main = main.reshape(B, nQ, Qt, W)
+    carry = carry.reshape(B, nQ, _HALO_ROWS, W)
+    main = main.at[:, 1:, :_HALO_ROWS].add(carry[:, :-1])
+    dxp = jnp.concatenate(
+        [main.reshape(B, nQ * Qt, W), carry[:, -1]], axis=1
+    ).astype(xp.dtype)
+    return dxp, dflat
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _chain_interior(xp, flat, meta, Qt, interpret):
+    """Differentiable fused interior: valid-convolution residual-stack
+    chain over row tiles.  meta/Qt/interpret are static; flat is the tuple
+    of (possibly blocked) effective conv weights."""
+    return _run_interior_fwd(xp, flat, meta, Qt, interpret)
+
+
+def _chain_interior_fwd(xp, flat, meta, Qt, interpret):
+    return _run_interior_fwd(xp, flat, meta, Qt, interpret), (xp, flat)
+
+
+def _chain_interior_bwd(meta, Qt, interpret, res, g):
+    xp, flat = res
+    dxp, dflat = _run_interior_bwd(xp, flat, g, meta, Qt, interpret)
+    return dxp, dflat
+
+
+_chain_interior.defvjp(_chain_interior_fwd, _chain_interior_bwd)
+
+
 def fused_residual_stacks(
     x: jnp.ndarray,
     stacks: Sequence[Tuple[jnp.ndarray, jnp.ndarray, int, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]],
@@ -227,35 +507,7 @@ def fused_residual_stacks(
     pad_rows = nQ * Qt + _HALO_ROWS - xr.shape[1]
     xp = jnp.pad(xr, ((0, 0), (0, max(0, pad_rows)), (0, 0)))
 
-    kernel = functools.partial(_chain_kernel, meta, Qt, dtype)
-    w_specs = [
-        pl.BlockSpec(
-            w.shape, lambda b, q, n=w.ndim: (0,) * n, memory_space=pltpu.VMEM
-        )
-        for w in flat
-    ]
-    W = xr.shape[-1]  # row width: C (plain) or 128 (blocked)
-    r = Qt // _HALO_ROWS
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, nQ),
-        in_specs=[
-            pl.BlockSpec(  # center tile: interior rows [q*Qt, q*Qt+Qt)
-                (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(  # halo: the next 32 rows
-                (1, _HALO_ROWS, W),
-                lambda b, q: (b, q * r + r, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ]
-        + w_specs,
-        out_specs=pl.BlockSpec(
-            (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, nQ * Qt, W), dtype),
-        interpret=interpret,
-    )(xp, xp, *flat)
+    out = _chain_interior(xp, tuple(flat), tuple(meta), Qt, interpret)
     interior = out[:, :Ti].reshape(B, Ti * s, C)
 
     return jnp.concatenate([left, interior, right], axis=1)

@@ -38,7 +38,8 @@ def test_blocked_conv_weight_matches_conv1d(rng):
     """The block-Toeplitz weight computes the exact same-padded conv."""
     r = np.random.default_rng(3)
     for K, d, C, s in [(3, 1, 16, 8), (3, 5, 16, 8), (11, 5, 16, 8),
-                       (7, 3, 32, 4), (11, 1, 32, 4)]:
+                       (7, 3, 32, 4), (11, 1, 32, 4), (11, 5, 64, 2),
+                       (7, 1, 64, 2)]:
         T = 12 * s
         x = jnp.asarray(r.standard_normal((1, T, C)).astype(np.float32))
         w = jnp.asarray(r.standard_normal((K, C, C)).astype(np.float32))
@@ -59,7 +60,7 @@ def test_blocked_conv_weight_matches_conv1d(rng):
         )
 
 
-@pytest.mark.parametrize("C,s", [(16, 8), (32, 4)])
+@pytest.mark.parametrize("C,s", [(16, 8), (32, 4), (64, 2)])
 def test_fused_mrf_stage_matches_resblocks(C, s, rng):
     """Whole-MRF fusion == mean of ResBlock1 outputs, across tile
     boundaries and sequence edges (interpret mode)."""
@@ -120,5 +121,7 @@ def test_fused_mrf_gate_excludes_training_form():
         "hifigan", os.path.join(root, "conf", "hifigan", "light.yaml")
     ).arch
     assert not _use_fused_mrf(cfg, True, 16, 1920)
-    assert not _use_fused_mrf(cfg, False, 64, 1920)   # too wide to block
+    assert not _use_fused_mrf(cfg, False, 128, 1920)  # too wide to block
     assert not _use_fused_mrf(cfg, False, 16, 1921)   # not divisible by s
+    assert not _use_fused_mrf(cfg, False, 64, 1921)   # s=2 needs even T
+    assert not _use_fused_mrf(cfg, False, 64, 1920, batch=1)  # batch gate

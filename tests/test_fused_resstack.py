@@ -97,3 +97,98 @@ def test_generators_fused_stacks_parity(monkeypatch):
     monkeypatch.setenv("FASTVOCODER_FUSED_STACKS", "interpret")
     got = np.asarray(gen.apply({"params": params}, mel))
     np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+@pytest.mark.parametrize("C,T", [(128, 200), (32, 512)])
+def test_fused_chain_grad_parity(C, T):
+    """custom_vjp backward kernel == autodiff through the module path, wrt
+    BOTH the input and every conv weight/bias (sample-domain and blocked
+    layouts).  This is what routes the TRAINING graph through the fused
+    chain (FASTVOCODER_FUSED_TRAIN)."""
+    rng = np.random.default_rng(C)
+    x = jnp.asarray(rng.standard_normal((2, T, C)).astype(np.float32) * 0.3)
+    _, ws = _chain(C, x)
+    r = jnp.asarray(rng.standard_normal((2, T, C)).astype(np.float32))
+
+    def loss_fused(x, ws):
+        ws = [tuple(w) for w in ws]
+        return jnp.sum(fused_residual_stacks(x, ws, tile_q=32, interpret=True) * r)
+
+    def loss_std(x, ws):
+        from fastvocoder_tpu.ops.fused_resstack import _std_chain
+
+        return jnp.sum(_std_chain(x, [tuple(w) for w in ws]) * r)
+
+    # differentiable pytree of weights: (kd, bd, k1, b1, ks, bs) per stack
+    ws_diff = [ (w[0], w[1], w[3], w[4], w[5], w[6]) for w in ws ]
+    rebuild = lambda wd: [
+        (a, b, ws[i][2], c, d, e, f)
+        for i, (a, b, c, d, e, f) in enumerate(wd)
+    ]
+
+    gx_f, gw_f = jax.grad(
+        lambda x, wd: loss_fused(x, rebuild(wd)), argnums=(0, 1)
+    )(x, ws_diff)
+    gx_s, gw_s = jax.grad(
+        lambda x, wd: loss_std(x, rebuild(wd)), argnums=(0, 1)
+    )(x, ws_diff)
+
+    np.testing.assert_allclose(
+        np.asarray(gx_f), np.asarray(gx_s), atol=5e-4, rtol=1e-3
+    )
+    for i, (f_s, s_s) in enumerate(zip(gw_f, gw_s)):
+        for j, (a, b) in enumerate(zip(f_s, s_s)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3, rtol=2e-3,
+                err_msg=f"stack {i} weight {j}",
+            )
+
+
+def test_fused_train_step_matches_standard(monkeypatch):
+    """FASTVOCODER_FUSED_TRAIN routes the weight-norm training graph
+    through the fused chain + custom-VJP backward; one pre_adv_step from
+    identical init must match the standard path (losses and updated
+    params)."""
+    from fastvocoder_tpu.hparams import HP, MelGANConfig, ModelConfig, TINY_DISC
+    from fastvocoder_tpu.train.trainer import make_trainer
+
+    hp = HP.replace(fixed_length=16)
+    cfg = ModelConfig(
+        model_name="melgan",
+        arch=MelGANConfig(channels=(32, 32, 32, 32, 32)),
+        lambda_stft=1.0,
+    )
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, 16, 80)).astype(np.float32)
+    t = np.arange(16 * 240, dtype=np.float32)
+    wav = np.stack(
+        [0.3 * np.sin(2 * np.pi * 220 * (i + 1) * t / 24000) for i in range(2)]
+    ).astype(np.float32)
+
+    results = {}
+    for mode in ("0", "interpret"):
+        monkeypatch.setenv("FASTVOCODER_FUSED_TRAIN", mode)
+        trainer = make_trainer(cfg, hp=hp, disc_cfg=TINY_DISC)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, metrics = jax.jit(trainer.pre_adv_step)(state, mel, wav)
+        results[mode] = (
+            float(metrics["stft_loss"]),
+            jax.tree_util.tree_map(np.asarray, state.gen_params),
+        )
+
+    l0, p0 = results["0"]
+    l1, p1 = results["interpret"]
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    flat0 = jax.tree_util.tree_leaves(p0)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    # Adam normalizes every grad to ~lr steps, so a single leaky-relu kink
+    # branch flip (pre-activation within f32-reassociation distance of 0)
+    # moves one element by up to ~lr=1e-4.  Require elementwise agreement
+    # except for isolated kink flips bounded by 2*lr.
+    n_bad = total = 0
+    for a, b in zip(flat1, flat0):
+        d = np.abs(a - b)
+        n_bad += int((d > 1e-4 + 1e-3 * np.abs(b)).sum())
+        total += d.size
+        assert d.max() < 2e-4, d.max()
+    assert n_bad / total < 1e-3, (n_bad, total)
