@@ -82,6 +82,29 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
     return True
 
 
+def _fused_tail_mode() -> str:
+    """FASTVOCODER_FUSED_TAIL: "auto" (default; Pallas on TPU), "1",
+    "interpret" (CPU tests), "0" (off)."""
+    return os.environ.get("FASTVOCODER_FUSED_TAIL", "auto")
+
+
+def _use_fused_tail(cfg: HiFiGANConfig, weight_norm: bool, ch_in: int, u: int, T_in) -> bool:
+    """Fold the final stage — leaky + ConvTranspose upsample + MRF +
+    output head — into one Pallas program (ops/fused_tail.py).  Needs the
+    row-aligned blocked layouts: s_out == u * s_in, i.e. the standard
+    channel-halving stage with u == 2 (hifigan light and large)."""
+    mode = _fused_tail_mode()
+    if mode == "0" or weight_norm or cfg.resblock_type != "1":
+        return False
+    if not cfg.transposedconv or u != 2 or ch_in not in (32, 64):
+        return False
+    if not isinstance(T_in, int) or T_in % (128 // ch_in) != 0:
+        return False
+    if mode == "auto":
+        return jax.default_backend() == "tpu"
+    return True
+
+
 class HiFiGANGenerator(nn.Module):
     cfg: HiFiGANConfig
     weight_norm: bool = True
@@ -110,8 +133,49 @@ class HiFiGANGenerator(nn.Module):
             cfg.upsample_initial_channel, 7, padding=3, name="conv_pre", **kw
         )(mel)
 
+        n_up = len(cfg.upsample_rates)
         for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
             ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            if i == n_up - 1 and _use_fused_tail(
+                cfg, self.weight_norm, x.shape[-1], u, x.shape[1]
+            ):
+                # whole final stage + output head in one Pallas program;
+                # the longest tensor in the net never touches HBM
+                from fastvocoder_tpu.ops.fused_tail import fused_hifigan_tail
+
+                up_k, up_b = WNConvTranspose1d(
+                    ch, kernel_size=k, stride=u,
+                    padding=u // 2 + u % 2, output_padding=u % 2,
+                    name=f"up_{i}", **kw,
+                ).weights(x.shape[-1])
+                rbs = [
+                    ResBlock1(
+                        channels=ch, kernel_size=rk, dilations=rd,
+                        use_bias=cfg.bias, weight_norm=self.weight_norm,
+                        compute_dtype=self.compute_dtype,
+                        name=f"resblock_{i}_{j}",
+                    ).weights(ch)
+                    for j, (rk, rd) in enumerate(
+                        zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+                    )
+                ]
+                if not cfg.bias:
+                    zero = jnp.zeros((ch,), x.dtype)
+                    rbs = [
+                        [(k1, b1 if b1 is not None else zero, d,
+                          k2, b2 if b2 is not None else zero)
+                         for k1, b1, d, k2, b2 in pairs]
+                        for pairs in rbs
+                    ]
+                post_k, post_b = WNConv1d(
+                    cfg.out_bands, 7, padding=3, name="conv_post", **kw
+                ).weights(ch)
+                if self.compute_dtype is not None:
+                    x = x.astype(self.compute_dtype)
+                return fused_hifigan_tail(
+                    x, up_k, up_b, u, u // 2 + u % 2, rbs, post_k, post_b,
+                    interpret=_fused_tail_mode() == "interpret",
+                )
             x = leaky_relu(x, LRELU_SLOPE)
             if cfg.transposedconv:
                 x = WNConvTranspose1d(

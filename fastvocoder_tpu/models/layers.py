@@ -148,8 +148,10 @@ class WNConvTranspose1d(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[-1]
+    def weights(self, cin: int):
+        """Create params and return the effective (kernel, bias) — weight
+        norm applied; kernel (K, Cin, Cout) torch orientation.  Used by
+        `__call__` and by the fused tail kernel (`ops/fused_tail.py`)."""
         fan_in = self.features * self.kernel_size  # torch fan_in for transpose
         kshape = (self.kernel_size, cin, self.features)
         kernel = self.param("kernel", torch_conv_kernel_init(fan_in), kshape)
@@ -165,6 +167,10 @@ class WNConvTranspose1d(nn.Module):
             if self.use_bias
             else None
         )
+        return kernel, bias
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel, bias = self.weights(x.shape[-1])
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
             kernel = kernel.astype(self.compute_dtype)
