@@ -56,6 +56,33 @@ class _NoopWriter:
         pass
 
 
+class _ScalarJsonWriter:
+    """Wraps a tensorboard writer and mirrors every scalar into a JSON dump
+    on close — the reference's tensorboardX `export_scalars_to_json`
+    (reference bin/train.py:473), which torch's SummaryWriter dropped."""
+
+    def __init__(self, writer, json_path: str):
+        self._w = writer
+        self._path = json_path
+        self._scalars: dict = {}
+
+    def add_scalar(self, tag, value, global_step=None):
+        self._w.add_scalar(tag, value, global_step=global_step)
+        self._scalars.setdefault(tag, []).append(
+            [global_step, float(value)]
+        )
+
+    def close(self):
+        import json
+
+        try:
+            with open(self._path, "w") as f:
+                json.dump(self._scalars, f)
+        except OSError as e:  # pragma: no cover
+            logger.warning(f"scalar json export failed: {e}")
+        self._w.close()
+
+
 def _make_writer(logdir: str):
     try:
         from torch.utils.tensorboard import SummaryWriter
@@ -225,7 +252,10 @@ def run(args):
     if is_main:
         os.makedirs(current_checkpoint_path, exist_ok=True)
         os.makedirs(current_logger_path, exist_ok=True)
-        writer = _make_writer(os.path.join(hp.tensorboard_path, stamp))
+        writer = _ScalarJsonWriter(
+            _make_writer(os.path.join(hp.tensorboard_path, stamp)),
+            os.path.join(current_logger_path, "all_scalars.json"),
+        )
     else:
         writer = _NoopWriter()
     # checkpoint saves run on a background thread so the train loop never

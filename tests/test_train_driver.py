@@ -116,3 +116,11 @@ def test_train_driver_smoke(tiny_dataset, tmp_path, monkeypatch):
     ckpt_dirs = os.listdir(tmp_path / "checkpoint")
     assert len(ckpt_dirs) == 1
     assert "checkpoint_4.pth.tar" in os.listdir(tmp_path / "checkpoint" / ckpt_dirs[0])
+
+    # scalar JSON export on close (reference tensorboardX
+    # export_scalars_to_json, bin/train.py:473)
+    import json
+
+    scalars = json.loads((logdir / "all_scalars.json").read_text())
+    assert "stft_loss" in scalars and "valid_stft_loss" in scalars
+    assert all(len(pair) == 2 for pair in scalars["stft_loss"])

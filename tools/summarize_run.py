@@ -1,0 +1,89 @@
+"""Summarize a training run: loss curves (downsampled CSV) + tensorboard
+valid series + a markdown table for docs/TRAINING.md.
+
+Usage: python tools/summarize_run.py <logger_run_dir> [--tensorboard <dir>]
+                                     [--csv_out <path>] [--every 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def load_series(path: str) -> np.ndarray:
+    with open(path) as f:
+        return np.array([float(line) for line in f if line.strip()], np.float64)
+
+
+def downsample(x: np.ndarray, every: int) -> list:
+    """Mean over consecutive windows of `every` steps -> [(step, mean)]."""
+    out = []
+    for i in range(0, len(x), every):
+        w = x[i : i + every]
+        out.append((i + len(w), float(w.mean())))
+    return out
+
+
+def valid_series(tb_dir: str):
+    """Read valid_stft_loss scalars from the newest tensorboard event file."""
+    try:
+        from tensorboard.backend.event_processing.event_accumulator import (
+            EventAccumulator,
+        )
+    except Exception:
+        return []
+    runs = sorted(
+        (os.path.join(tb_dir, d) for d in os.listdir(tb_dir)),
+        key=os.path.getmtime,
+    )
+    if not runs:
+        return []
+    acc = EventAccumulator(runs[-1])
+    acc.Reload()
+    if "valid_stft_loss" not in acc.Tags().get("scalars", []):
+        return []
+    return [(e.step, e.value) for e in acc.Scalars("valid_stft_loss")]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("run_dir", help="logger/<stamp> directory")
+    p.add_argument("--tensorboard", default="tensorboard")
+    p.add_argument("--csv_out", default="")
+    p.add_argument("--every", type=int, default=100)
+    args = p.parse_args()
+
+    stft = load_series(os.path.join(args.run_dir, "stft_loss.txt"))
+    total = load_series(os.path.join(args.run_dir, "total_loss.txt"))
+    ds_stft = downsample(stft, args.every)
+    ds_total = downsample(total, args.every)
+    valid = valid_series(args.tensorboard)
+
+    if args.csv_out:
+        with open(args.csv_out, "w") as f:
+            f.write("step,train_stft_loss,train_total_loss\n")
+            for (s, a), (_, b) in zip(ds_stft, ds_total):
+                f.write(f"{s},{a:.6f},{b:.6f}\n")
+            if valid:
+                f.write("\nstep,valid_stft_loss\n")
+                for s, v in valid:
+                    f.write(f"{s},{v:.6f}\n")
+        print(f"wrote {args.csv_out}")
+
+    n = len(stft)
+    print(f"steps: {n}")
+    for frac in (0.0, 0.1, 0.25, 0.5, 0.75, 1.0):
+        i = min(n - 1, int(frac * n))
+        w = stft[max(0, i - 50) : i + 50]
+        print(f"  step ~{i + 1}: stft_loss ~{w.mean():.4f}")
+    if valid:
+        print("valid_stft_loss:")
+        for s, v in valid:
+            print(f"  step {s}: {v:.4f}")
+
+
+if __name__ == "__main__":
+    main()
