@@ -58,6 +58,18 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
     un-fuses from cost more than its margin (hifigan-large 10.0 -> 11.7
     ms/utt measured); C=16's 2.8x margin absorbs that.  C=64 (s=2 blocked
     layout) follows the same batch >= 2 gate."""
+    if weight_norm:
+        # training form: routes through the same kernel via the interior
+        # op's custom-VJP backward (ops/fused_mrf.py::_mrf_interior) when
+        # FASTVOCODER_FUSED_TRAIN asks for it; effective weight-norm
+        # kernels are differentiable XLA outside the Pallas call
+        from fastvocoder_tpu.ops.fused_resstack import fused_train_mode
+
+        if fused_train_mode() not in ("1", "interpret"):
+            return False
+        if cfg.resblock_type != "1" or ch not in (16, 32, 64):
+            return False
+        return isinstance(T, int) and T % (128 // ch) == 0
     mode = _fused_mrf_mode()
     if mode == "0" or weight_norm or cfg.resblock_type != "1":
         return False
@@ -212,9 +224,15 @@ class HiFiGANGenerator(nn.Module):
                     ]
                 if self.compute_dtype is not None:
                     x = x.astype(self.compute_dtype)
-                x = fused_mrf_stage(
-                    x, rbs, interpret=_fused_mrf_mode() == "interpret"
-                )
+                if self.weight_norm:
+                    from fastvocoder_tpu.ops.fused_resstack import (
+                        fused_train_mode,
+                    )
+
+                    interp = fused_train_mode() == "interpret"
+                else:
+                    interp = _fused_mrf_mode() == "interpret"
+                x = fused_mrf_stage(x, rbs, interpret=interp)
             else:
                 acc = None
                 for j, (rk, rd) in enumerate(

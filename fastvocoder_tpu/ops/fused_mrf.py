@@ -165,6 +165,306 @@ def _mrf_kernel(
     out_ref[0] = (acc / len(meta)).astype(dtype)
 
 
+# ---------------------------------------------------------------------------
+# Interior op with a hand-written backward kernel (custom_vjp) — lets the
+# TRAINING graph route through the fused stage (see ops/fused_resstack.py's
+# twin for the chain variant; same recompute-in-backward + carry design,
+# except the MRF out rows are CENTER-aligned so cotangents spread to BOTH
+# sides and the backward emits left AND right carry buffers).
+# ---------------------------------------------------------------------------
+
+
+def _run_mrf_fwd(xb, flat, meta, Qt, H, Q_real, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Qpad, W = xb.shape
+    nQ = Qpad // Qt
+    nH = Qpad // H
+    dtype = xb.dtype
+    kernel = functools.partial(_mrf_kernel, meta, Qt, H, Q_real, dtype)
+    w_specs = [
+        pl.BlockSpec(
+            w.shape, lambda b, q, n=w.ndim: (0,) * n, memory_space=pltpu.VMEM
+        )
+        for w in flat
+    ]
+    r = Qt // H
+    x_specs = [
+        pl.BlockSpec(
+            (1, H, 128),
+            lambda b, q: (b, jnp.maximum(q * r - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, Qt, 128), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, H, 128),
+            lambda b, q: (b, jnp.minimum(q * r + r, nH - 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nQ),
+        in_specs=x_specs + w_specs,
+        out_specs=pl.BlockSpec(
+            (1, Qt, 128), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Qpad, 128), dtype),
+        interpret=interpret,
+    )(xb, xb, xb, *flat)
+
+
+def _mrf_bwd_kernel(
+    meta, Qt: int, H: int, Q_real: int, g_ref, left_ref, center_ref,
+    right_ref, *refs
+):
+    """Backward of the fused MRF stage over one tile, f32 from VMEM.
+
+    The MRF branches are parallel (mean of resblocks), so each branch is
+    recomputed and adjointed independently from the tile's x rows; dW is
+    accumulated across the sequential grid, dx splits into main + left +
+    right carries folded in XLA."""
+    from jax.experimental import pallas as pl
+
+    n_convs = sum(2 * len(pairs) for pairs in meta)
+    w_refs = refs[: 2 * n_convs]
+    dx_ref = refs[2 * n_convs]
+    lcarry_ref = refs[2 * n_convs + 1]
+    rcarry_ref = refs[2 * n_convs + 2]
+    dw_refs = refs[2 * n_convs + 3 :]
+
+    qi = pl.program_id(1)
+    first = (pl.program_id(0) == 0) & (qi == 0)
+
+    def row_valid(nrows, a_cum):
+        row = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
+        g = qi * Qt - H + a_cum + row
+        return ((g >= 0) & (g < Q_real)).astype(jnp.float32)
+
+    def lmask(v, slope=LRELU_SLOPE):
+        return jnp.where(v >= 0, 1.0, slope)
+
+    x0 = jnp.concatenate(
+        [left_ref[0], center_ref[0], right_ref[0]], axis=0
+    ).astype(jnp.float32)
+    x0 = x0 * row_valid(x0.shape[0], 0)
+
+    g = g_ref[0].astype(jnp.float32) / len(meta)  # d(mean) per branch
+
+    dx_acc = None
+    dws = [None] * (2 * n_convs)
+    ref_i = 0
+    for pairs in meta:  # one resblock branch
+        base_i = ref_i
+        # --- forward recompute of this branch, storing intermediates ---
+        hhs, tAs = [], []
+        hh = x0
+        a_r = 0
+        for off1, right1, off2, right2 in pairs:
+            w1 = w_refs[ref_i][...].astype(jnp.float32)
+            b1 = w_refs[ref_i + 1][...].astype(jnp.float32)
+            w2 = w_refs[ref_i + 2][...].astype(jnp.float32)
+            b2 = w_refs[ref_i + 3][...].astype(jnp.float32)
+            ref_i += 4
+            hhs.append(hh)
+            t1 = jnp.where(hh >= 0, hh, hh * LRELU_SLOPE)
+            Lo1 = t1.shape[0] - w1.shape[0] + 1
+            acc = None
+            for j in range(w1.shape[0]):
+                p = jnp.dot(
+                    t1[j : j + Lo1], w1[j], preferred_element_type=jnp.float32
+                )
+                acc = p if acc is None else acc + p
+            tA = (acc + b1) * row_valid(Lo1, a_r + off1)
+            tAs.append(tA)
+            t3 = jnp.where(tA >= 0, tA, tA * LRELU_SLOPE)
+            Lo2 = t3.shape[0] - w2.shape[0] + 1
+            acc = None
+            for j in range(w2.shape[0]):
+                p = jnp.dot(
+                    t3[j : j + Lo2], w2[j], preferred_element_type=jnp.float32
+                )
+                acc = p if acc is None else acc + p
+            tB = (acc + b2) * row_valid(Lo2, a_r + off1 + off2)
+            a, bb = off1 + off2, right1 + right2
+            hh = hh[a : hh.shape[0] - bb] + tB
+            a_r += a
+
+        # --- adjoint of this branch ---
+        # out = hh[H - a_r : H - a_r + Qt]; place g there
+        d = jnp.pad(
+            g, ((H - a_r, hh.shape[0] - (H - a_r) - Qt), (0, 0))
+        )
+        wi = base_i + 4 * (len(pairs) - 1)
+        for pi in reversed(range(len(pairs))):
+            off1, right1, off2, right2 = pairs[pi]
+            w1 = w_refs[wi][...].astype(jnp.float32)
+            w2 = w_refs[wi + 2][...].astype(jnp.float32)
+            hh_in = hhs[pi]
+            tA = tAs[pi]
+            a, bb = off1 + off2, right1 + right2
+            a_here = sum(p[0] + p[2] for p in pairs[:pi])
+            Lh = hh_in.shape[0]
+            Lo1 = Lh - w1.shape[0] + 1
+            Lo2 = d.shape[0]
+
+            d_tB = d * row_valid(Lo2, a_here + off1 + off2)
+            t3 = jnp.where(tA >= 0, tA, tA * LRELU_SLOPE)
+            # dW2 / db2 / d_t3
+            dw2 = jnp.stack([
+                jnp.dot(
+                    t3[j : j + Lo2].T, d_tB,
+                    preferred_element_type=jnp.float32,
+                )
+                for j in range(w2.shape[0])
+            ])
+            db2 = jnp.sum(d_tB, axis=0)[None]
+            d_t3 = None
+            for j in range(w2.shape[0]):
+                p = jnp.pad(
+                    jnp.dot(d_tB, w2[j].T, preferred_element_type=jnp.float32),
+                    ((j, Lo1 - j - Lo2), (0, 0)),
+                )
+                d_t3 = p if d_t3 is None else d_t3 + p
+            d_tA = d_t3 * lmask(tA) * row_valid(Lo1, a_here + off1)
+            t1 = jnp.where(hh_in >= 0, hh_in, hh_in * LRELU_SLOPE)
+            dw1 = jnp.stack([
+                jnp.dot(
+                    t1[j : j + Lo1].T, d_tA,
+                    preferred_element_type=jnp.float32,
+                )
+                for j in range(w1.shape[0])
+            ])
+            db1 = jnp.sum(d_tA, axis=0)[None]
+            d_t1 = None
+            for j in range(w1.shape[0]):
+                p = jnp.pad(
+                    jnp.dot(d_tA, w1[j].T, preferred_element_type=jnp.float32),
+                    ((j, Lh - j - Lo1), (0, 0)),
+                )
+                d_t1 = p if d_t1 is None else d_t1 + p
+            d = d_t1 * lmask(hh_in) + jnp.pad(d, ((a, bb), (0, 0)))
+
+            for k, val in ((0, dw1), (1, db1), (2, dw2), (3, db2)):
+                idx = wi + k
+                dws[idx] = val if dws[idx] is None else dws[idx] + val
+            wi -= 4
+
+        dx_acc = d if dx_acc is None else dx_acc + d
+
+    dx_acc = dx_acc * row_valid(dx_acc.shape[0], 0)
+    lcarry_ref[0] = dx_acc[:H].astype(lcarry_ref.dtype)
+    dx_ref[0] = dx_acc[H : H + Qt].astype(dx_ref.dtype)
+    rcarry_ref[0] = dx_acc[H + Qt :].astype(rcarry_ref.dtype)
+
+    @pl.when(first)
+    def _init():
+        for ref, val in zip(dw_refs, dws):
+            ref[...] = val.astype(ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _accum():
+        for ref, val in zip(dw_refs, dws):
+            ref[...] += val.astype(ref.dtype)
+
+
+def _run_mrf_bwd(xb, flat, g_buf, meta, Qt, H, Q_real, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, Qpad, W = xb.shape
+    nQ = Qpad // Qt
+    nH = Qpad // H
+    r = Qt // H
+    kernel = functools.partial(_mrf_bwd_kernel, meta, Qt, H, Q_real)
+    w_specs = [
+        pl.BlockSpec(
+            w.shape, lambda b, q, n=w.ndim: (0,) * n, memory_space=pltpu.VMEM
+        )
+        for w in flat
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, nQ),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, H, 128),
+                lambda b, q: (b, jnp.maximum(q * r - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, H, 128),
+                lambda b, q: (b, jnp.minimum(q * r + r, nH - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + w_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, H, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, H, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+        + [
+            pl.BlockSpec(
+                w.shape, lambda b, q, n=w.ndim: (0,) * n,
+                memory_space=pltpu.VMEM,
+            )
+            for w in flat
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Qpad, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, nQ * H, W), jnp.float32),
+            jax.ShapeDtypeStruct((B, nQ * H, W), jnp.float32),
+        ]
+        + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat],
+        interpret=interpret,
+    )(g_buf, xb, xb, xb, *flat)
+
+    main, lc, rc = outs[0], outs[1], outs[2]
+    dflat = tuple(d.astype(w.dtype) for d, w in zip(outs[3:], flat))
+    main = main.reshape(B, nQ, Qt, W)
+    lc = lc.reshape(B, nQ, H, W)
+    rc = rc.reshape(B, nQ, H, W)
+    # tile q's right carry lands on tile q+1's head; its left carry on tile
+    # q-1's tail.  Tile 0's left and the last tile's right carries target
+    # rows outside [0, Q_real) and are zero by the in-kernel row mask.
+    main = main.at[:, 1:, :H].add(rc[:, :-1])
+    main = main.at[:, :-1, Qt - H :].add(lc[:, 1:])
+    return main.reshape(B, nQ * Qt, W).astype(xb.dtype), dflat
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _mrf_interior(xb, flat, meta, Qt, H, Q_real, interpret):
+    return _run_mrf_fwd(xb, flat, meta, Qt, H, Q_real, interpret)
+
+
+def _mrf_interior_fwd(xb, flat, meta, Qt, H, Q_real, interpret):
+    return _run_mrf_fwd(xb, flat, meta, Qt, H, Q_real, interpret), (xb, flat)
+
+
+def _mrf_interior_bwd(meta, Qt, H, Q_real, interpret, res, g):
+    xb, flat = res
+    return _run_mrf_bwd(xb, flat, g, meta, Qt, H, Q_real, interpret)
+
+
+_mrf_interior.defvjp(_mrf_interior_fwd, _mrf_interior_bwd)
+
+
 def fused_mrf_stage(
     x: jnp.ndarray,
     resblocks: Sequence[Sequence[Tuple[jnp.ndarray, jnp.ndarray, int, jnp.ndarray, jnp.ndarray]]],
@@ -229,37 +529,7 @@ def fused_mrf_stage(
     if Qpad != Q:
         xb = jnp.pad(xb, ((0, 0), (0, Qpad - Q), (0, 0)))
 
-    kernel = functools.partial(_mrf_kernel, meta, Qt, H, Q, dtype)
-    w_specs = [
-        pl.BlockSpec(
-            w.shape, lambda b, q, n=w.ndim: (0,) * n, memory_space=pltpu.VMEM
-        )
-        for w in flat_weights
-    ]
-    r = Qt // H  # halo blocks per tile
-    x_specs = [
-        pl.BlockSpec(  # left halo: H rows ending at the tile start
-            (1, H, 128),
-            lambda b, q: (b, jnp.maximum(q * r - 1, 0), 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(  # center tile
-            (1, Qt, 128), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(  # right halo: H rows after the tile end
-            (1, H, 128),
-            lambda b, q: (b, jnp.minimum(q * r + r, nH - 1), 0),
-            memory_space=pltpu.VMEM,
-        ),
-    ]
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, nQ),
-        in_specs=x_specs + w_specs,
-        out_specs=pl.BlockSpec(
-            (1, Qt, 128), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, Qpad, 128), dtype),
-        interpret=interpret,
-    )(xb, xb, xb, *flat_weights)
+    del nH  # computed inside the interior op
+    meta_t = tuple(tuple(pm) for pm in meta)
+    out = _mrf_interior(xb, tuple(flat_weights), meta_t, Qt, H, Q, interpret)
     return out[:, :Q].reshape(B, Q * s, C)

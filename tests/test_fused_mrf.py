@@ -108,9 +108,10 @@ def test_hifigan_generator_fused_path_parity(monkeypatch, rng):
     assert np.sqrt(((got - ref) ** 2).mean()) < 5e-5
 
 
-def test_fused_mrf_gate_excludes_training_form():
-    """weight_norm=True (training graph) must never route to the Pallas
-    kernel — it has no autodiff."""
+def test_fused_mrf_gate_training_form(monkeypatch):
+    """weight_norm=True (training graph) routes to the kernel ONLY under
+    FASTVOCODER_FUSED_TRAIN (the interior op's custom-VJP backward); the
+    default keeps the standard autodiff path."""
     from fastvocoder_tpu.hparams import load_model_config
     import os
 
@@ -120,8 +121,120 @@ def test_fused_mrf_gate_excludes_training_form():
     cfg = load_model_config(
         "hifigan", os.path.join(root, "conf", "hifigan", "light.yaml")
     ).arch
-    assert not _use_fused_mrf(cfg, True, 16, 1920)
+    assert not _use_fused_mrf(cfg, True, 16, 1920)    # default: off
+    monkeypatch.setenv("FASTVOCODER_FUSED_TRAIN", "1")
+    assert _use_fused_mrf(cfg, True, 16, 1920)
+    assert not _use_fused_mrf(cfg, True, 16, 1921)    # shape gate still on
+    monkeypatch.delenv("FASTVOCODER_FUSED_TRAIN")
     assert not _use_fused_mrf(cfg, False, 128, 1920)  # too wide to block
     assert not _use_fused_mrf(cfg, False, 16, 1921)   # not divisible by s
     assert not _use_fused_mrf(cfg, False, 64, 1921)   # s=2 needs even T
     assert not _use_fused_mrf(cfg, False, 64, 1920, batch=1)  # batch gate
+
+
+@pytest.mark.parametrize("C,s", [(16, 8), (32, 4)])
+def test_fused_mrf_grad_parity(C, s, rng):
+    """custom_vjp backward kernel == autodiff through the ResBlock1 module
+    path, wrt the input and every conv weight/bias."""
+    r = np.random.default_rng(C + 1)
+    T, B = 30 * s, 2
+    x = jnp.asarray(r.standard_normal((B, T, C)).astype(np.float32) * 0.3)
+    refs_mods, weights = [], []
+    for rk in (3, 7, 11):
+        rb, p, pairs = _resblock_weights(rk, [1, 3, 5], C, x, rk)
+        refs_mods.append((rb, p))
+        weights.append(pairs)
+    cot = jnp.asarray(r.standard_normal((B, T, C)).astype(np.float32))
+
+    # differentiable weight pytree
+    wd = [[(k1, b1, k2, b2) for k1, b1, _, k2, b2 in pairs]
+          for pairs in weights]
+    dils = [[d for _, _, d, _, _ in pairs] for pairs in weights]
+    rebuild = lambda wd: [
+        [(k1, b1, dils[i][j], k2, b2)
+         for j, (k1, b1, k2, b2) in enumerate(pairs)]
+        for i, pairs in enumerate(wd)
+    ]
+
+    def loss_fused(x, wd):
+        return jnp.sum(
+            fused_mrf_stage(x, rebuild(wd), tile_q=16, interpret=True) * cot
+        )
+
+    def loss_std(x, wd):
+        rbs = rebuild(wd)
+        acc = None
+        for pairs in rbs:
+            hh = x
+            from fastvocoder_tpu.ops.conv import conv1d
+
+            for k1, b1, d, k2, b2 in pairs:
+                t = jnp.where(hh >= 0, hh, 0.1 * hh)
+                t = conv1d(t, k1, b1, padding=(k1.shape[0] - 1) * d // 2,
+                           dilation=d)
+                t = jnp.where(t >= 0, t, 0.1 * t)
+                t = conv1d(t, k2, b2, padding=(k2.shape[0] - 1) // 2)
+                hh = hh + t
+            acc = hh if acc is None else acc + hh
+        return jnp.sum(acc / len(rbs) * cot)
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, wd)
+    gx_s, gw_s = jax.grad(loss_std, argnums=(0, 1))(x, wd)
+
+    np.testing.assert_allclose(
+        np.asarray(gx_f), np.asarray(gx_s), atol=1e-3, rtol=2e-3
+    )
+    for i, (pf, ps) in enumerate(zip(gw_f, gw_s)):
+        for j, (tf_, ts_) in enumerate(zip(pf, ps)):
+            for k, (a, b) in enumerate(zip(tf_, ts_)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=5e-3, rtol=5e-3,
+                    err_msg=f"rb {i} pair {j} w {k}",
+                )
+
+
+def test_hifigan_fused_train_step_matches_standard(monkeypatch):
+    """FASTVOCODER_FUSED_TRAIN routes hifigan's weight-norm training graph
+    through the fused MRF stages; one pre_adv_step from identical init must
+    match the standard path."""
+    from fastvocoder_tpu.hparams import (
+        HP, HiFiGANConfig, ModelConfig, TINY_DISC,
+    )
+    from fastvocoder_tpu.train.trainer import make_trainer
+
+    hp = HP.replace(fixed_length=8)
+    cfg = ModelConfig(
+        model_name="hifigan",
+        arch=HiFiGANConfig(upsample_initial_channel=128),
+        lambda_stft=1.0,
+    )
+    r = np.random.default_rng(1)
+    mel = r.standard_normal((2, 8, 80)).astype(np.float32)
+    t = np.arange(8 * 240, dtype=np.float32)
+    wav = np.stack(
+        [0.3 * np.sin(2 * np.pi * 220 * (i + 1) * t / 24000) for i in range(2)]
+    ).astype(np.float32)
+
+    results = {}
+    for mode in ("0", "interpret"):
+        monkeypatch.setenv("FASTVOCODER_FUSED_TRAIN", mode)
+        trainer = make_trainer(cfg, hp=hp, disc_cfg=TINY_DISC)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        state, metrics = jax.jit(trainer.pre_adv_step)(state, mel, wav)
+        results[mode] = (
+            float(metrics["stft_loss"]),
+            jax.tree_util.tree_map(np.asarray, state.gen_params),
+        )
+
+    l0, p0 = results["0"]
+    l1, p1 = results["interpret"]
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    n_bad = total = 0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p0)
+    ):
+        d = np.abs(a - b)
+        n_bad += int((d > 1e-4 + 1e-3 * np.abs(b)).sum())
+        total += d.size
+        assert d.max() < 2e-4, d.max()  # isolated kink flips ~ lr
+    assert n_bad / total < 1e-3, (n_bad, total)
