@@ -67,7 +67,11 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
 
         if fused_train_mode() not in ("1", "interpret"):
             return False
-        if cfg.resblock_type != "1" or ch not in (16, 32, 64):
+        # C=64 is fused for inference but NOT for training: the backward
+        # kernel's dW output refs double the ~9.4 MB of s=2 block-Toeplitz
+        # weights resident in VMEM (18.9 MB > the 16 MB scoped limit, no
+        # tile size can save it — measured OOM at reference geometry)
+        if cfg.resblock_type != "1" or ch not in (16, 32):
             return False
         return isinstance(T, int) and T % (128 // ch) == 0
     mode = _fused_mrf_mode()
@@ -230,9 +234,15 @@ class HiFiGANGenerator(nn.Module):
                     )
 
                     interp = fused_train_mode() == "interpret"
+                    # the backward kernel holds weights + dW accumulators
+                    # (2x weight bytes: 8.7 MB at C=16, 12.1 MB at C=32)
+                    # plus the f32 recompute of the tile's intermediates —
+                    # shrink the tile to fit the 16 MB scoped VMEM
+                    tile_q = 512 if ch == 16 else 256
                 else:
                     interp = _fused_mrf_mode() == "interpret"
-                x = fused_mrf_stage(x, rbs, interpret=interp)
+                    tile_q = 0  # auto (inference-tuned)
+                x = fused_mrf_stage(x, rbs, tile_q=tile_q, interpret=interp)
             else:
                 acc = None
                 for j, (rk, rd) in enumerate(

@@ -322,7 +322,16 @@ def apply_residual_stacks(x, cfg, compute_dtype, stack_modules):
         mode = (
             fused_train_mode() if cfg.use_weight_norm else fused_stacks_mode()
         )
-        return fused_residual_stacks(x, tuples, interpret=mode == "interpret")
+        # train path: the backward kernel holds weights + dW accumulators
+        # (2x weight bytes — 7.9 MB at C=256) plus the f32 recompute of
+        # the tile's intermediates; Qt=1024 overflows the 16 MB scoped
+        # VMEM at reference geometry (measured OOM, 17.8 MB at C=256).
+        # Scale the tile down with the row width: 512 rows at W<=128,
+        # 256 at W=256.
+        tile_q = (65536 // max(C, 128)) if cfg.use_weight_norm else 1024
+        return fused_residual_stacks(
+            x, tuples, tile_q=tile_q, interpret=mode == "interpret"
+        )
     for m in stack_modules:
         x = m(x)
     return x
