@@ -236,9 +236,10 @@ class HiFiGANGenerator(nn.Module):
                     interp = fused_train_mode() == "interpret"
                     # the backward kernel holds weights + dW accumulators
                     # (2x weight bytes: 8.7 MB at C=16, 12.1 MB at C=32)
-                    # plus the f32 recompute of the tile's intermediates —
-                    # shrink the tile to fit the 16 MB scoped VMEM
-                    tile_q = 512 if ch == 16 else 256
+                    # plus an f32 recompute of ~18 tile-sized intermediates
+                    # — Qt=512 measured 17.6 MB (over the 16 MB scoped
+                    # VMEM); 256 rows fit both widths
+                    tile_q = 256
                 else:
                     interp = _fused_mrf_mode() == "interpret"
                     tile_q = 0  # auto (inference-tuned)
