@@ -124,3 +124,85 @@ def test_train_driver_smoke(tiny_dataset, tmp_path, monkeypatch):
     scalars = json.loads((logdir / "all_scalars.json").read_text())
     assert "stft_loss" in scalars and "valid_stft_loss" in scalars
     assert all(len(pair) == 2 for pair in scalars["stft_loss"])
+
+
+def test_basis_melgan_driver_smoke_with_fitted_targets(tmp_path, monkeypatch):
+    """Train the flagship model end-to-end from audio alone: fit the basis
+    and weight targets with tools/make_basis_dataset.py (the in-framework
+    replacement for the reference's external ConvTasNet artifacts,
+    reference bin/train.py:298-300), then drive bin/train.run on them —
+    WeightDataset crops, the frozen basis layer, and the weight-L1 phase
+    (reference bin/train.py:87-89) all exercised through the real driver."""
+    import sys
+
+    import fastvocoder_tpu.bin.train as train_mod
+    from fastvocoder_tpu.train.trainer import make_trainer
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    from make_basis_dataset import main as make_basis_main
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        train_mod, "make_trainer", functools.partial(make_trainer, disc_cfg=TINY_DISC)
+    )
+
+    rng = np.random.default_rng(3)
+    audio_idx, mel_idx = [], []
+    for i in range(4):
+        frames = int(rng.integers(12, 16))
+        wav = (0.3 * np.sin(np.linspace(0, 80, frames * 240))).astype(np.float32)
+        mel = rng.random((80, frames)).astype(np.float32)
+        wp = tmp_path / f"{i}.wav.npy"
+        mp = tmp_path / f"{i}.mel.npy"
+        np.save(wp, wav)
+        np.save(mp, mel)
+        audio_idx.append(str(wp))
+        mel_idx.append(str(mp))
+    a = tmp_path / "audio_train.txt"
+    m = tmp_path / "mel_train.txt"
+    a.write_text("\n".join(audio_idx) + "\n")
+    m.write_text("\n".join(mel_idx) + "\n")
+
+    basis_dir = tmp_path / "basis"
+    make_basis_main([
+        "--audio_index", str(a), "--out_dir", str(basis_dir),
+        "--L", "30", "--C", "16", "--iters", "10",
+    ])
+
+    conf = tmp_path / "basis_tiny.yaml"
+    conf.write_text(
+        "L: 30\nin_channels: 80\nout_channels: 16\nkernel_size: 7\n"
+        "channels: [16, 16, 16]\nupsample_scales: [4, 4]\n"
+        "stack_kernel_size: 3\nstacks: 3\nuse_weight_norm: True\n"
+        "use_causal_conv: False\nlamda_stft: 1.0\nmultiband: False\n"
+        "use_feature_map_loss: False\ntransposedconv: True\n"
+    )
+
+    args = Namespace(
+        audio_index_path=str(a), mel_index_path=str(m),
+        audio_index_valid_path=str(a), mel_index_valid_path=str(m),
+        checkpoint_path="", restore_step=0,
+        learning_rate=1e-4, learning_rate_discriminator=5e-5,
+        model_name="basis-melgan", config=str(conf),
+        use_scheduler=0, mixprecision=0,
+        basis_dataset_path=str(basis_dir), seed=0,
+        max_steps=5, test_size=0,
+        batch_size=2, batch_expand_size=2, fixed_length=10,
+        save_step=1000, valid_step=10000, valid_num=2,
+        discriminator_train_start_steps=100000,
+    )
+    state = train_mod.run(args)
+    assert int(np.asarray(state.step)) == 5
+
+    # the weight-L1 phase really saw the fitted targets
+    logger_dirs = os.listdir(tmp_path / "logger")
+    logdir = tmp_path / "logger" / logger_dirs[0]
+    text = (logdir / "logger.txt").read_text()
+    assert "weight_loss" in text
+    # basis stayed frozen at the fitted value (reference bin/train.py:329-331)
+    basis = np.load(basis_dir / "basis_signal_weight.npy")
+    trained = np.asarray(state.gen_params["basis_signal"]["basis"])
+    np.testing.assert_allclose(trained, basis, rtol=0, atol=0)
