@@ -235,10 +235,13 @@ def run(args):
 
     state = replicate_state(state, mesh)
 
-    # compiled steps: with/without the Basis-MelGAN weight target
+    # compiled steps: with/without the Basis-MelGAN weight target.  The
+    # weight L1 only applies pre-boundary (reference bin/train.py:87-89),
+    # so the GAN-phase step is compiled without it — the input stream stops
+    # shipping weights past the boundary
     if args.model_name == "basis-melgan":
         pre_adv = compile_train_step(trainer.pre_adv_step, mesh)
-        gan = compile_train_step(trainer.gan_step, mesh)
+        gan = compile_train_step_no_weight(trainer.gan_step, mesh)
     else:
         pre_adv = compile_train_step_no_weight(trainer.pre_adv_step, mesh)
         gan = compile_train_step_no_weight(trainer.gan_step, mesh)
@@ -367,80 +370,98 @@ def run(args):
             global_step=current_step,
         )
 
-    for epoch in range(hp.epochs):
+    start_step = current_step
+    is_basis = args.model_name == "basis-melgan"
 
-        def host_batches(epoch=epoch):
-            # per-host shard of the common shuffled epoch: disjoint slice,
-            # per-host sub-batches assemble into the global batch
-            # divisibility asserted at startup; no padding (padding would
-            # duplicate examples into the per-step loss mean)
-            yield from batch_iterator(
+    def host_batches():
+        # Persistent cross-epoch stream: ONE prefetch pipeline for the whole
+        # run, so host assembly + H2D of batch k+1 always overlap step k.
+        # (A per-epoch pipeline stalls at every epoch boundary — fatal when
+        # an epoch is only a handful of batches.)  Each epoch is still the
+        # reference's scheme: per-host shard of a common shuffled epoch,
+        # disjoint slice, mega-batch sort (reference bin/train.py:398-405,
+        # 415-419).  The `weight` target is only consumed by the weight-L1
+        # phase (reference bin/train.py:87-89), so it is dropped from the
+        # stream past the discriminator boundary — at reference geometry
+        # that is 73 MB/step of host->device transfer saved.
+        if steps_per_epoch == 0:
+            return
+        count = 0
+        for epoch in range(hp.epochs):
+            for batch in batch_iterator(
                 dataset, hp, seed=args.seed, epoch=epoch, L=L,
                 shard_index=proc_id, shard_count=proc_count,
                 batch_size=per_host_bs,
+            ):
+                count += 1
+                if is_basis and (start_step + count) > hp.discriminator_train_start_steps:
+                    batch = {k: v for k, v in batch.items() if k != "weight"}
+                elif "weight" in batch:
+                    # the weight target is ~68x the wav bytes at reference
+                    # geometry; ship it f16 (ample for an L1 target — the
+                    # loss accumulates in f32) to halve link pressure
+                    batch = dict(batch, weight=batch["weight"].astype(np.float16))
+                yield batch
+
+    for batch in prefetch_to_device(host_batches(), mesh=mesh):
+        current_step += 1
+        epoch = (current_step - start_step - 1) // max(steps_per_epoch, 1)
+        step_fn = gan if current_step > hp.discriminator_train_start_steps else pre_adv
+        if is_basis and "weight" in batch:
+            state, metrics = step_fn(
+                state, batch["mel"], batch["wav"], batch["weight"]
             )
+        else:
+            state, metrics = step_fn(state, batch["mel"], batch["wav"])
+        pending.append((current_step, metrics))
+        window_steps += 1
 
-        # background-thread device prefetch: the H2D transfer of batch k+1
-        # overlaps the computation of batch k (the reference overlaps via
-        # DataLoader workers + pin_memory, bin/train.py:398-405)
-        for batch in prefetch_to_device(host_batches(), mesh=mesh):
-            current_step += 1
-            step_fn = gan if current_step > hp.discriminator_train_start_steps else pre_adv
-            if args.model_name == "basis-melgan":
-                state, metrics = step_fn(
-                    state, batch["mel"], batch["wav"], batch["weight"]
+        if current_step % hp.log_step == 0:
+            drained = drain_metrics()  # forces the window to complete
+            dt = timer.stop()
+            mean_t = dt / max(window_steps, 1)
+            timer.start()
+            window_steps = 0
+            m = drained[-1][1]
+            eta = (total_step - current_step) * mean_t
+            msg = (
+                f"epoch [{epoch + 1}] step [{current_step}/{total_step}] "
+                + " ".join(f"{k}={v:.6f}" for k, v in sorted(m.items()))
+                + f" step_time={mean_t:.3f}s eta={eta / 3600:.1f}h"
+            )
+            logger.info(msg)
+            with open(os.path.join(current_logger_path, "logger.txt"), "a") as f:
+                f.write(msg + "\n")
+            for k, v in m.items():
+                writer.add_scalar(k, v, global_step=current_step)
+
+        if current_step % hp.save_step == 0:
+            drain_metrics()
+            if is_main:
+                ckpt_file = os.path.join(
+                    current_checkpoint_path,
+                    f"checkpoint_{current_step}.pth.tar",
                 )
-            else:
-                state, metrics = step_fn(state, batch["mel"], batch["wav"])
-            pending.append((current_step, metrics))
-            window_steps += 1
-
-            if current_step % hp.log_step == 0:
-                drained = drain_metrics()  # forces the window to complete
-                dt = timer.stop()
-                mean_t = dt / max(window_steps, 1)
-                timer.start()
-                window_steps = 0
-                m = drained[-1][1]
-                eta = (total_step - current_step) * mean_t
-                msg = (
-                    f"epoch [{epoch + 1}] step [{current_step}/{total_step}] "
-                    + " ".join(f"{k}={v:.6f}" for k, v in sorted(m.items()))
-                    + f" step_time={mean_t:.3f}s eta={eta / 3600:.1f}h"
+                ckpt_writer.submit(
+                    ckpt_file, cfg,
+                    state.gen_params, state.disc_params,
+                    state.gen_opt_state, state.disc_opt_state,
+                    step=current_step, disc_cfg=trainer.discriminator.cfg,
                 )
-                logger.info(msg)
-                with open(os.path.join(current_logger_path, "logger.txt"), "a") as f:
-                    f.write(msg + "\n")
-                for k, v in m.items():
-                    writer.add_scalar(k, v, global_step=current_step)
+                logger.info(f"saving checkpoint {ckpt_file} (async)")
 
-            if current_step % hp.save_step == 0:
-                drain_metrics()
-                if is_main:
-                    ckpt_file = os.path.join(
-                        current_checkpoint_path,
-                        f"checkpoint_{current_step}.pth.tar",
-                    )
-                    ckpt_writer.submit(
-                        ckpt_file, cfg,
-                        state.gen_params, state.disc_params,
-                        state.gen_opt_state, state.disc_opt_state,
-                        step=current_step, disc_cfg=trainer.discriminator.cfg,
-                    )
-                    logger.info(f"saving checkpoint {ckpt_file} (async)")
+        if current_step % hp.valid_step == 0:
+            drain_metrics()
+            if is_main:
+                run_validation()
 
-            if current_step % hp.valid_step == 0:
-                drain_metrics()
-                if is_main:
-                    run_validation()
-
-            if max_steps and current_step >= max_steps:
-                logger.info(f"reached max_steps={max_steps}; stopping")
-                drain_metrics()
-                if ckpt_writer is not None:
-                    ckpt_writer.wait()
-                writer.close()
-                return state
+        if max_steps and current_step >= max_steps:
+            logger.info(f"reached max_steps={max_steps}; stopping")
+            drain_metrics()
+            if ckpt_writer is not None:
+                ckpt_writer.wait()
+            writer.close()
+            return state
 
     drain_metrics()
     if ckpt_writer is not None:

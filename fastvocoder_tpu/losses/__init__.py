@@ -72,7 +72,10 @@ def reconstruction_loss(
     total = sc + mag
     weight_loss = None
     if est_weight is not None and weight is not None:
-        weight_loss = jnp.mean(jnp.abs(est_weight - weight))
+        # targets may arrive f16 (halved host->device bytes); accumulate f32
+        weight_loss = jnp.mean(
+            jnp.abs(est_weight - weight.astype(est_weight.dtype))
+        )
     return total, weight_loss
 
 

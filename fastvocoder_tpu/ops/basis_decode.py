@@ -143,6 +143,32 @@ def basis_decode_pallas(
     return out.astype(jnp.float32)
 
 
+@jax.custom_vjp
+def _basis_decode_pallas_ad(weight: jnp.ndarray, basis: jnp.ndarray):
+    """Differentiable wrapper: Pallas forward, XLA backward.
+
+    The decode is bilinear in (weight, basis), so the exact cotangents are
+    the XLA path's own VJP — without this wrapper, reaching the kernel from
+    a training graph (small-batch `auto` routing) fails linearization."""
+    interp = jax.default_backend() != "tpu"
+    return basis_decode_pallas(weight, basis, interpret=interp)
+
+
+def _basis_decode_pallas_ad_fwd(weight, basis):
+    return _basis_decode_pallas_ad(weight, basis), (weight, basis)
+
+
+def _basis_decode_pallas_ad_bwd(res, g):
+    weight, basis = res
+    _, vjp = jax.vjp(basis_decode_xla, weight, basis)
+    return vjp(g)
+
+
+_basis_decode_pallas_ad.defvjp(
+    _basis_decode_pallas_ad_fwd, _basis_decode_pallas_ad_bwd
+)
+
+
 def basis_decode(
     weight: jnp.ndarray, basis: jnp.ndarray, impl: Impl | None = None
 ) -> jnp.ndarray:
@@ -153,5 +179,5 @@ def basis_decode(
         rows = weight.shape[0] * weight.shape[1]
         impl = "pallas" if (on_tpu and rows <= _AUTO_PALLAS_MAX_ROWS) else "xla"
     if impl == "pallas":
-        return basis_decode_pallas(weight, basis)
+        return _basis_decode_pallas_ad(weight, basis)
     return basis_decode_xla(weight, basis)

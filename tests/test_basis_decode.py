@@ -58,3 +58,28 @@ def test_matches_reference_basis_signal_layer(rng):
 
     ours = np.asarray(basis_decode_xla(w, basis))
     np.testing.assert_allclose(ours, ref_out, atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_grad_matches_xla(rng):
+    """The training graph can reach the Pallas decode via small-batch `auto`
+    routing — its custom VJP must produce the XLA path's exact cotangents
+    for both weight and the (frozen-but-differentiated) basis."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastvocoder_tpu.ops.basis_decode import basis_decode
+
+    B, F, C, L = 2, 24, 64, 30
+    w = rng.standard_normal((B, F, C)).astype(np.float32)
+    basis = rng.standard_normal((L, C)).astype(np.float32)
+    cot = rng.standard_normal((B, (F + 1) * (L // 2))).astype(np.float32)
+
+    def loss(impl):
+        def f(wt, bs):
+            return jnp.sum(basis_decode(wt, bs, impl=impl) * cot)
+        return f
+
+    gw_p, gb_p = jax.grad(loss("pallas"), argnums=(0, 1))(w, basis)
+    gw_x, gb_x = jax.grad(loss("xla"), argnums=(0, 1))(w, basis)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_x), atol=1e-4)
