@@ -513,16 +513,18 @@ def run_train(argv=None):
                         help="add HiFiGAN's multi-period discriminator to "
                              "the composite (1/0; -1 = take the YAML "
                              "`use_mpd` key, default off like the reference)")
-    parser.add_argument("--fused_train", type=int, default=0,
+    parser.add_argument("--fused_train", type=int, default=-1,
                         help="route the training graph through the fused "
                              "Pallas stage kernels (custom-VJP backward; "
                              "melgan-family chains + hifigan C<=32 MRF "
-                             "stages).  Measured 1.15x faster GAN steps on "
-                             "v5e; grad-parity tested vs the module path")
+                             "stages).  1=on, 0=off, -1=auto (default: on "
+                             "when the backend is a TPU).  Measured 1.42x "
+                             "faster hifigan-light GAN steps on v5e; "
+                             "grad-parity tested vs the module path")
     args = parser.parse_args(argv)
-    if args.fused_train:
+    if args.fused_train >= 0:
         # read at trace time by the stage gates (ops/fused_resstack.py)
-        os.environ["FASTVOCODER_FUSED_TRAIN"] = "1"
+        os.environ["FASTVOCODER_FUSED_TRAIN"] = str(args.fused_train)
     run(args)
 
 

@@ -63,9 +63,9 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
         # op's custom-VJP backward (ops/fused_mrf.py::_mrf_interior) when
         # FASTVOCODER_FUSED_TRAIN asks for it; effective weight-norm
         # kernels are differentiable XLA outside the Pallas call
-        from fastvocoder_tpu.ops.fused_resstack import fused_train_mode
+        from fastvocoder_tpu.ops.fused_resstack import fused_train_on
 
-        if fused_train_mode() not in ("1", "interpret"):
+        if not fused_train_on():
             return False
         # C=64 is fused for inference but NOT for training: the backward
         # kernel's dW output refs double the ~9.4 MB of s=2 block-Toeplitz

@@ -76,6 +76,14 @@ def semi_nmf(
         # B: ridge least squares given W
         G = W.T @ W + 1e-6 * np.eye(C, dtype=np.float64)
         B = np.linalg.solve(G, W.T @ X).astype(np.float32)
+        # fix the W·diag(s) / diag(1/s)·B scale indeterminacy: unit-L2
+        # atoms keep the weight targets at frame scale (without this the
+        # fit drifts to tiny atoms against huge weights — mean|W| ~8 with
+        # spikes >1000 — which the ReLU-headed trunk, initialized near
+        # zero, cannot usefully chase during the weight-L1 phase)
+        norms = np.sqrt(np.sum(B * B, axis=1, keepdims=True)) + eps
+        B = (B / norms).astype(np.float32)
+        W = W * norms[:, 0][None, :]
         # W: semi-NMF multiplicative update (keeps W >= 0)
         XB = X @ B.T
         BB = B @ B.T
