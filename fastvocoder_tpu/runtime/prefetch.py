@@ -23,6 +23,11 @@ def prefetch_to_device(
 
     With a mesh, batches are placed with the batch-dim sharding
     (parallel.shard_batch); without, plain device_put.
+
+    Early exit is safe: when the consumer abandons the generator (a
+    `max_steps` return mid-epoch), cleanup signals the producer and drains
+    the queue so the thread exits instead of blocking on a full queue with
+    device batches pinned forever.
     """
     import jax
 
@@ -31,27 +36,47 @@ def prefetch_to_device(
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
     err: list = []
+    stop = threading.Event()
 
     def producer():
         try:
             for batch in iterator:
+                if stop.is_set():
+                    return
                 if mesh is not None:
                     batch = shard_batch(batch, mesh)
                 else:
                     batch = {k: jax.device_put(v) for k, v in batch.items()}
-                q.put(batch)
+                while True:
+                    try:
+                        q.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            return
         except Exception as e:  # surface in consumer
             err.append(e)
         finally:
-            q.put(_END)
+            try:
+                q.put_nowait(_END)
+            except queue.Full:
+                pass  # consumer is gone and the queue is being drained
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
 
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -101,3 +101,30 @@ def test_async_checkpoint_writer_survives_donated_buffers(tmp_path):
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     got = float(sum(t.sum() for t in ckpt["model"].values()))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_prefetch_early_exit_unblocks_producer(rng):
+    """Abandoning the generator mid-stream (a max_steps return) must let the
+    producer thread exit instead of blocking forever on the full queue."""
+    import threading
+    import time
+
+    import numpy as np
+
+    n_before = threading.active_count()
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield {"x": np.full((4,), i, np.float32)}
+
+    it = prefetch_to_device(gen(), mesh=None, size=2)
+    assert float(next(it)["x"][0]) == 0.0
+    it.close()  # what GC does when the consumer returns early
+
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before, "producer thread leaked"
+    assert len(produced) < 100, "producer ran the whole stream after close"
