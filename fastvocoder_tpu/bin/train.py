@@ -458,6 +458,20 @@ def run(args):
         if max_steps and current_step >= max_steps:
             logger.info(f"reached max_steps={max_steps}; stopping")
             drain_metrics()
+            if is_main and current_step % hp.save_step != 0:
+                # save the tail progress so segmented runs (--max_steps N,
+                # then auto-resume from the run dir) lose nothing
+                ckpt_file = os.path.join(
+                    current_checkpoint_path,
+                    f"checkpoint_{current_step}.pth.tar",
+                )
+                ckpt_writer.submit(
+                    ckpt_file, cfg,
+                    state.gen_params, state.disc_params,
+                    state.gen_opt_state, state.disc_opt_state,
+                    step=current_step, disc_cfg=trainer.discriminator.cfg,
+                )
+                logger.info(f"saving final checkpoint {ckpt_file} (async)")
             if ckpt_writer is not None:
                 ckpt_writer.wait()
             writer.close()

@@ -115,7 +115,10 @@ def test_train_driver_smoke(tiny_dataset, tmp_path, monkeypatch):
     # save_step checkpoint written
     ckpt_dirs = os.listdir(tmp_path / "checkpoint")
     assert len(ckpt_dirs) == 1
-    assert "checkpoint_4.pth.tar" in os.listdir(tmp_path / "checkpoint" / ckpt_dirs[0])
+    saved = os.listdir(tmp_path / "checkpoint" / ckpt_dirs[0])
+    assert "checkpoint_4.pth.tar" in saved
+    # max_steps exit also saves the tail progress (segmented-run support)
+    assert "checkpoint_6.pth.tar" in saved
 
     # scalar JSON export on close (reference tensorboardX
     # export_scalars_to_json, bin/train.py:473)
