@@ -430,8 +430,11 @@ def run(args):
                 + f" step_time={mean_t:.3f}s eta={eta / 3600:.1f}h"
             )
             logger.info(msg)
-            with open(os.path.join(current_logger_path, "logger.txt"), "a") as f:
-                f.write(msg + "\n")
+            if is_main:  # file writes are process-0's (shared-FS safe)
+                with open(
+                    os.path.join(current_logger_path, "logger.txt"), "a"
+                ) as f:
+                    f.write(msg + "\n")
             for k, v in m.items():
                 writer.add_scalar(k, v, global_step=current_step)
 

@@ -80,10 +80,10 @@ def _frame_signal_bwd(num_frames, n_fft, hop, T, g):
         out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, T - covered)])
     elif covered > T:
         # frames overran the signal: the forward gather clamped out-of-range
-        # indices, so cotangent mass past T belongs to the clamped reads of
-        # sample T-1; dropping it matches the clamp only approximately, but
-        # keeps the shape contract for callers that over-specify num_frames
-        out = out[..., :T]
+        # indices to T-1, so every read past the end really read x[T-1] —
+        # its adjoint adds the overrun cotangent mass to sample T-1
+        overrun = out[..., T:].sum(axis=-1)
+        out = out[..., :T].at[..., T - 1].add(overrun)
     return (out,)
 
 

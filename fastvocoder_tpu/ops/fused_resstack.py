@@ -96,21 +96,33 @@ def use_fused_stacks(
             return False
         if not isinstance(T, int) or T < 16 * max(M, 1) or 2 * M > _HALO_ROWS:
             return False
-        return not (C < 128 and T % (128 // C) != 0)
+        if C < 128 and T % (128 // C) != 0:
+            # otherwise-eligible training chain losing the fused step is a
+            # silent perf cliff — say so once
+            _warn_fallback(
+                f"fused residual-stack training chain skipped: C={C} needs "
+                f"T % {128 // C} == 0 (got T={T}); pick a fixed_length "
+                "whose crops keep the chain aligned to recover the fused "
+                "train step"
+            )
+            return False
+        return True
     mode = fused_stacks_mode()
     if mode == "0" or weight_norm or use_causal or C not in (32, 64, 128, 256):
         return False
     if not isinstance(T, int) or T < 16 * max(M, 1) or 2 * M > _HALO_ROWS:
         return False
+    if mode == "auto" and (batch != 1 or jax.default_backend() != "tpu"):
+        return False
     if C < 128 and T % (128 // C) != 0:
+        # every other gate passed: the chain would have run fused but for
+        # the sequence alignment
         _warn_fallback(
             f"fused residual-stack chain skipped: C={C} needs "
             f"T % {128 // C} == 0 (got T={T}); bucket mel lengths to keep "
             "the fast path"
         )
         return False
-    if mode == "auto":
-        return batch == 1 and jax.default_backend() == "tpu"
     return True
 
 

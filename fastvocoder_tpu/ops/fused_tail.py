@@ -231,13 +231,11 @@ def fused_hifigan_tail(
             ]
         mrf_meta.append(pair_meta)
 
-    # conv_post as a blocked conv (C_out -> out_bands)
+    # conv_post as a blocked conv (C_out -> out_bands; blocked_conv_weight
+    # handles rectangular kernels)
     Kp = post_kernel.shape[0]
-    p_post = (Kp - 1) // 2
     off_p, right_p = conv_margins(Kp, 1, s)
-    wpost = blocked_conv_weight_rect(
-        post_kernel.astype(dtype), 1, s, out_bands
-    )
+    wpost = blocked_conv_weight(post_kernel.astype(dtype), 1, s)
     if post_bias is None:
         post_bias = jnp.zeros((out_bands,), dtype)
     flat += [wpost, jnp.tile(post_bias.astype(dtype), s)[None, :]]
@@ -300,25 +298,3 @@ def fused_hifigan_tail(
     # (B, Q, s * out_bands) rows -> (B, T_out, out_bands)
     out = out[:, :Q].reshape(B, Q * s, out_bands)
     return out
-
-
-def blocked_conv_weight_rect(
-    kernel: jnp.ndarray, dilation: int, s: int, cout_bands: int
-) -> jnp.ndarray:
-    """Rectangular variant of `blocked_conv_weight` for C_in != C_out
-    (conv_post: C -> out_bands).  Returns (Wq, s*Cin, s*Cout)."""
-    K, Cin, Cout = kernel.shape
-    p = (K - 1) * dilation // 2
-    off, right = conv_margins(K, dilation, s)
-    Wq = off + right + 1
-
-    jq = np.arange(Wq)[:, None, None] - off
-    rin = np.arange(s)[None, :, None]
-    rout = np.arange(s)[None, None, :]
-    tap = jq * s + rin - rout + p
-    valid = (tap % dilation == 0) & (tap >= 0) & (tap < K * dilation)
-    kk = np.clip(tap // dilation, 0, K - 1)
-
-    w3 = kernel[kk] * jnp.asarray(valid, kernel.dtype)[..., None, None]
-    w3 = jnp.transpose(w3, (0, 1, 3, 2, 4))
-    return w3.reshape(Wq, s * Cin, s * Cout)

@@ -57,10 +57,18 @@ def prefetch_to_device(
         except Exception as e:  # surface in consumer
             err.append(e)
         finally:
-            try:
-                q.put_nowait(_END)
-            except queue.Full:
-                pass  # consumer is gone and the queue is being drained
+            # The sentinel must reach the consumer even when the queue is
+            # full at end-of-stream (the steady state: consumer slower than
+            # producer) — put_nowait here would drop it and deadlock the
+            # consumer's q.get().  Retry like the batch put; stop only fires
+            # when the consumer has abandoned the generator and is draining.
+            while True:
+                try:
+                    q.put(_END, timeout=0.2)
+                    break
+                except queue.Full:
+                    if stop.is_set():
+                        break
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

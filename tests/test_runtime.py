@@ -128,3 +128,40 @@ def test_prefetch_early_exit_unblocks_producer(rng):
         time.sleep(0.05)
     assert threading.active_count() <= n_before, "producer thread leaked"
     assert len(produced) < 100, "producer ran the whole stream after close"
+
+def test_prefetch_slow_consumer_sees_end_of_stream(rng):
+    """End-of-stream with the queue full (consumer slower than producer) must
+    still deliver the end sentinel — a dropped sentinel deadlocks the
+    consumer's next q.get() after the final batch."""
+    import time
+
+    import numpy as np
+
+    batches = [{"x": np.full((4,), i, np.float32)} for i in range(4)]
+    got = []
+    start = time.time()
+    for b in prefetch_to_device(iter(batches), mesh=None, size=2):
+        time.sleep(0.2)  # let the producer finish with the queue full
+        got.append(float(b["x"][0]))
+        assert time.time() - start < 30.0, "consumer hung after last batch"
+    assert got == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_prefetch_error_reaches_slow_consumer(rng):
+    """Producer exceptions must propagate even when the queue was full at the
+    moment the iterator raised."""
+    import time
+
+    import numpy as np
+    import pytest
+
+    def gen():
+        for i in range(3):
+            yield {"x": np.full((4,), i, np.float32)}
+        raise RuntimeError("boom")
+
+    it = prefetch_to_device(gen(), mesh=None, size=1)
+    with pytest.raises(RuntimeError, match="boom"):
+        for _ in range(10):
+            next(it)
+            time.sleep(0.2)

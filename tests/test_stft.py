@@ -49,3 +49,39 @@ def test_stft_frames_count(rng):
     x = rng.standard_normal((1, 33600)).astype(np.float32)
     out = stft_mag(jnp.asarray(x), 2048, 240, 1200)
     assert out.shape[1] == 1 + 33600 // 240
+
+
+def test_frame_signal_grad_matches_plain_gather_on_overrun(rng):
+    """When num_frames over-covers the signal, the custom VJP must match the
+    plain gather's adjoint: clamped out-of-range reads all hit x[T-1], so
+    their cotangent mass belongs to the last sample (not dropped)."""
+    import jax
+
+    from fastvocoder_tpu.dsp.stft import frame_signal, _frame_indices
+
+    T, n_fft, hop = 100, 32, 16
+    num_frames = 1 + (T - 1) // hop  # (nf-1)*hop + n_fft = 128 > T
+    assert (num_frames - 1) * hop + n_fft > T
+    x = jnp.asarray(rng.standard_normal(T).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((num_frames, n_fft)).astype(np.float32)
+    )
+
+    def via_custom(x):
+        return jnp.sum(frame_signal(x, num_frames, n_fft, hop) * w)
+
+    def via_gather(x):
+        # clamp explicitly: jax's adjoint of an out-of-range gather DROPS
+        # the cotangent (documented OOB-gradient caveat), but the forward
+        # clamps — pre-clamped indices give the true gradient of the
+        # as-executed computation
+        idx = jnp.asarray(
+            np.minimum(_frame_indices(num_frames, n_fft, hop), T - 1)
+        )
+        return jnp.sum(x[idx] * w)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(via_custom)(x)),
+        np.asarray(jax.grad(via_gather)(x)),
+        rtol=1e-5, atol=1e-5,
+    )
