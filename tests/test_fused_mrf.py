@@ -238,3 +238,50 @@ def test_hifigan_fused_train_step_matches_standard(monkeypatch):
         total += d.size
         assert d.max() < 2e-4, d.max()  # isolated kink flips ~ lr
     assert n_bad / total < 1e-3, (n_bad, total)
+
+
+def test_fallback_warning_only_when_otherwise_eligible(monkeypatch, caplog):
+    """The T-misalignment warning must not fire when the fast path was
+    never available anyway (CPU backend, batch-1 C=64), and must fire for
+    an otherwise-eligible stage — in both the inference and training
+    gates."""
+    import logging
+    import os
+
+    from fastvocoder_tpu.hparams import load_model_config
+    from fastvocoder_tpu.models import hifigan as H
+    from fastvocoder_tpu.ops import fused_resstack as FR
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    cfg = load_model_config(
+        "hifigan", os.path.join(root, "conf", "hifigan", "light.yaml")
+    ).arch
+
+    # CPU + mode auto: backend gate fails first -> no warning
+    FR._fallback_warned.clear()
+    with caplog.at_level(logging.WARNING):
+        assert not H._use_fused_mrf(cfg, False, 16, 1921)
+    assert not any("fused MRF" in r.message for r in caplog.records)
+
+    # force mode: every other gate passes, T misaligned -> warn once
+    caplog.clear()
+    monkeypatch.setenv("FASTVOCODER_FUSED_MRF", "1")
+    with caplog.at_level(logging.WARNING):
+        assert not H._use_fused_mrf(cfg, False, 16, 1921)
+        assert not H._use_fused_mrf(cfg, False, 16, 1921)  # warn-once
+    assert [
+        "fused MRF stage skipped" in r.message for r in caplog.records
+    ].count(True) == 1
+    monkeypatch.delenv("FASTVOCODER_FUSED_MRF")
+
+    # training gate: eligible but misaligned -> its own warning
+    caplog.clear()
+    FR._fallback_warned.clear()
+    monkeypatch.setenv("FASTVOCODER_FUSED_TRAIN", "1")
+    with caplog.at_level(logging.WARNING):
+        assert not H._use_fused_mrf(cfg, True, 16, 1921)
+    assert any(
+        "fused MRF training stage skipped" in r.message
+        for r in caplog.records
+    )
+    monkeypatch.delenv("FASTVOCODER_FUSED_TRAIN")
