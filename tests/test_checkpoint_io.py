@@ -127,3 +127,50 @@ def test_published_artifact_layout(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(out["gen_params"]["basis_signal"]["basis"]), basis, rtol=1e-6
     )
+
+
+def test_average_checkpoints(tmp_path):
+    """Averaged checkpoint = elementwise mean of model entries, loads like a
+    training checkpoint, optimizer state dropped, last ckpt's extras kept."""
+    import os
+    import sys
+
+    import numpy as np
+    import torch
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from average_checkpoints import average_checkpoints, expand_inputs
+
+    d = tmp_path / "run"
+    d.mkdir()
+    keys = ["melgan.conv.weight_v", "melgan.conv.weight_g"]
+    vals = []
+    for step in (1000, 2000, 3000):
+        model = {
+            k: torch.from_numpy(
+                np.full((2, 3), float(step + i), np.float32)
+            )
+            for i, k in enumerate(keys)
+        }
+        vals.append(model)
+        torch.save(
+            {"model": model, "optimizer": {"x": 1}, "step": step},
+            d / f"checkpoint_{step}.pth.tar",
+        )
+
+    paths = expand_inputs([str(d)], last=2)  # newest two: 2000, 3000
+    assert [os.path.basename(p) for p in paths] == [
+        "checkpoint_2000.pth.tar", "checkpoint_3000.pth.tar",
+    ]
+    out_path = str(tmp_path / "avg.pth.tar")
+    average_checkpoints(paths, out_path)
+
+    avg = torch.load(out_path, map_location="cpu", weights_only=False)
+    assert "optimizer" not in avg
+    assert avg["step"] == 3000  # last checkpoint's extras
+    for i, k in enumerate(keys):
+        np.testing.assert_allclose(
+            avg["model"][k].numpy(), np.full((2, 3), 2500.0 + i), rtol=1e-6
+        )
