@@ -11,7 +11,10 @@ from __future__ import annotations
 
 import sys
 
-MODES = ("train", "preprocess", "synthesize", "publish", "test", "evaluation")
+MODES = (
+    "train", "preprocess", "synthesize", "publish", "test", "evaluation",
+    "serve",
+)
 
 
 def main(argv=None):
@@ -35,6 +38,7 @@ def main(argv=None):
         "publish": drivers.run_publisher,
         "test": drivers.run_test,
         "evaluation": drivers.run_evaluation,
+        "serve": drivers.run_serve,
     }[mode]
     fn(rest)
     return 0

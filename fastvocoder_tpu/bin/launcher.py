@@ -16,6 +16,7 @@ if __name__ == "__main__":
         run_evaluation,
         run_preprocess,
         run_publisher,
+        run_serve,
         run_synthesizer,
         run_test,
         run_train,
@@ -35,8 +36,10 @@ if __name__ == "__main__":
     elif MODE == "evaluation":
         # working replacement for the reference's broken bin/evaluation.py
         run_evaluation()
+    elif MODE == "serve":
+        run_serve()
     else:
         raise SystemExit(
             f"unknown MODE={MODE!r}; want "
-            "train|preprocess|synthesize|publish|test|evaluation"
+            "train|preprocess|synthesize|publish|test|evaluation|serve"
         )

@@ -184,3 +184,52 @@ def test_serving_model_from_checkpoint(tmp_path, rng):
     for g, w, m in zip(got, want, mels):
         assert g.shape == (m.shape[0] * 240,)
         np.testing.assert_allclose(g, w, atol=1e-6)
+
+
+def test_serve_driver_end_to_end(tmp_path, rng):
+    """MODE=serve driver surface: checkpoint -> HTTP server -> waveform."""
+    import jax
+
+    from fastvocoder_tpu.bin.serve import run_serve
+    from fastvocoder_tpu.hparams import MelGANConfig, ModelConfig
+    from fastvocoder_tpu.models.factory import build_generator
+    from fastvocoder_tpu.train.checkpoint import save_checkpoint
+
+    cfg = ModelConfig(
+        model_name="melgan", arch=MelGANConfig(channels=(8, 8, 8, 8, 8))
+    )
+    gen = build_generator(cfg)
+    params = jax.jit(gen.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 8, 80), np.float32)
+    )["params"]
+    ckpt = str(tmp_path / "ckpt.pth.tar")
+    save_checkpoint(ckpt, cfg, params)
+    conf = str(tmp_path / "melgan.yaml")
+    with open(conf, "w") as f:
+        f.write(
+            "in_channels: 80\nout_channels: 1\nkernel_size: 7\n"
+            "channels: [8, 8, 8, 8, 8]\nupsample_scales: [10, 6, 2, 2]\n"
+            "stack_kernel_size: 3\nstacks: 3\nuse_weight_norm: True\n"
+            "use_causal_conv: False\nlamda_stft: 5.0\nmultiband: False\n"
+            "use_feature_map_loss: True\n"
+        )
+
+    httpd, batcher = run_serve(
+        [
+            "--checkpoint_path", ckpt, "--model_name", "melgan",
+            "--config", conf, "--port", "0", "--bucket_frames", "16",
+        ],
+        block=False,
+    )
+    port = httpd.server_address[1]
+    try:
+        mel = rng.standard_normal((12, 80)).astype(np.float32)
+        status, body = _post(
+            f"http://127.0.0.1:{port}/synthesize", _npy_bytes(mel)
+        )
+        assert status == 200
+        wav = np.load(io.BytesIO(body))
+        assert wav.shape == (12 * 240,) and np.isfinite(wav).all()
+    finally:
+        httpd.shutdown()
+        batcher.close()
