@@ -29,6 +29,11 @@ def run_serve(argv=None, block: bool = True):
         help="'all' = shard request batches over every local device",
     )
     p.add_argument("--bf16", type=int, default=0)
+    p.add_argument(
+        "--warmup_frames", type=int, default=0,
+        help="pre-compile serving programs for utterances up to N mel "
+        "frames before accepting traffic (first compile is slow on TPU)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -47,6 +52,9 @@ def run_serve(argv=None, block: bool = True):
         mesh=mesh,
         compute_dtype=jnp.bfloat16 if args.bf16 else None,
     )
+    if args.warmup_frames:
+        n = model.warmup(args.warmup_frames)
+        print(f"warmed {n} serving programs", flush=True)
     httpd, batcher = make_server(
         model,
         input_channels=model.input_channels,

@@ -36,7 +36,14 @@ class BatchedSynthesizer:
         bucket_frames: int = 64,
         max_batch: int = 32,
         mesh=None,
+        batch_pad: str = "exact",
     ):
+        """batch_pad: "exact" compiles one program per distinct group size
+        (fine for offline sweeps at a fixed batch); "pow2" pads each group
+        to the next power of two (<= max_batch) by repeating its last row
+        and trims the outputs — bounds the compiled-program count to
+        O(buckets * log2(max_batch)) for live serving, where group sizes
+        vary per request wave."""
         import jax
 
         self.mesh = mesh
@@ -60,6 +67,38 @@ class BatchedSynthesizer:
         self.spf = samples_per_frame
         self.bucket_frames = bucket_frames
         self.max_batch = max_batch
+        if batch_pad not in ("exact", "pow2"):
+            raise ValueError(f"batch_pad: want 'exact' or 'pow2', got {batch_pad!r}")
+        self.batch_pad = batch_pad
+
+    def _group_size(self, n: int) -> int:
+        if self.batch_pad == "pow2":
+            p = 1
+            while p < n:
+                p *= 2
+            return min(p, self.max_batch)
+        return n
+
+    def warmup(
+        self, bucket_lengths: Sequence[int], feature_dim: int = 80
+    ) -> int:
+        """Pre-compile every program __call__ can dispatch for utterances
+        up to the given bucket lengths (first-compile on TPU is tens of
+        seconds — do it before the first request, not during).  Returns
+        the number of (bucket, group-size) programs warmed."""
+        sizes = {self._group_size(self.max_batch)}
+        if self.batch_pad == "pow2":
+            p = 1
+            while p < self.max_batch:
+                sizes.add(self._group_size(p))
+                p *= 2
+        n = 0
+        for T in bucket_lengths:
+            Tb = bucket_length(T, self.bucket_frames)
+            for s in sorted(sizes):
+                self([np.zeros((Tb, feature_dim), np.float32)] * s)
+                n += 1
+        return n
 
     def __call__(self, mels: Sequence[np.ndarray]) -> List[np.ndarray]:
         """mels: list of (T_i, C) -> list of (T_i * samples_per_frame,) wavs,
@@ -78,10 +117,17 @@ class BatchedSynthesizer:
                         for i in group
                     ]
                 ).astype(np.float32)
-                if self.n_dev > 1 and batch.shape[0] % self.n_dev:
-                    pad = (-batch.shape[0]) % self.n_dev
+                want_rows = self._group_size(batch.shape[0])
+                if self.n_dev > 1:
+                    want_rows += (-want_rows) % self.n_dev
+                if want_rows > batch.shape[0]:
                     batch = np.concatenate(
-                        [batch, np.repeat(batch[-1:], pad, axis=0)]
+                        [
+                            batch,
+                            np.repeat(
+                                batch[-1:], want_rows - batch.shape[0], axis=0
+                            ),
+                        ]
                     )
                 wavs = np.asarray(self.forward(self.params, batch))
                 for row, i in enumerate(group):

@@ -40,6 +40,7 @@ class ServingModel:
         max_batch: int = 32,
         mesh=None,
         compute_dtype=None,
+        batch_pad: str = "pow2",
     ):
         import jax
 
@@ -73,11 +74,19 @@ class ServingModel:
             bucket_frames=bucket_frames,
             max_batch=max_batch,
             mesh=mesh,
+            batch_pad=batch_pad,  # bounded program count for live traffic
         )
 
     @property
     def input_channels(self) -> int:
         return 81 if self.model_name == "nhv" else self.hp.num_mels
+
+    def warmup(self, max_frames: int) -> int:
+        """Pre-compile every (bucket, group-size) program for utterances up
+        to `max_frames` mel frames; returns how many were compiled."""
+        b = self.batched.bucket_frames
+        lengths = list(range(b, max_frames + b, b))
+        return self.batched.warmup(lengths, feature_dim=self.input_channels)
 
     def __call__(self, mels: Sequence[np.ndarray]) -> List[np.ndarray]:
         wavs = self.batched(mels)

@@ -67,3 +67,81 @@ def test_batched_on_mesh_matches_single(rng):
     )(mels)
     for a, b in zip(sharded, plain):
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_batch_pad_pow2_matches_exact(rng):
+    """pow2 group padding returns identical wavs while dispatching padded
+    row counts (bounded program variety for live serving)."""
+    cfg = ModelConfig(
+        model_name="melgan", arch=MelGANConfig(channels=(8, 8, 8, 8, 8))
+    )
+    gen = build_generator(cfg)
+    params = jax.jit(gen.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 8, 80), np.float32)
+    )["params"]
+
+    seen_rows = []
+
+    def fwd(p, m):
+        seen_rows.append(m.shape[0])
+        return gen.apply({"params": p}, m)
+
+    mels = [
+        rng.standard_normal((T, 80)).astype(np.float32)
+        for T in (10, 12, 11, 40, 41)  # bucket 32: group of 3; bucket 64: 2
+    ]
+    exact = BatchedSynthesizer(
+        fwd, params, samples_per_frame=240, bucket_frames=32, max_batch=8
+    )(mels)
+    rows_exact, seen_rows[:] = list(seen_rows), []
+
+    # a distinct closure: jit's trace cache keys on the underlying function,
+    # so reusing `fwd` would hide re-dispatches of already-traced shapes
+    def fwd2(p, m):
+        seen_rows.append(m.shape[0])
+        return gen.apply({"params": p}, m)
+
+    padded = BatchedSynthesizer(
+        fwd2, params, samples_per_frame=240, bucket_frames=32, max_batch=8,
+        batch_pad="pow2",
+    )(mels)
+    rows_pow2 = list(seen_rows)
+
+    assert rows_exact == [3, 2] and rows_pow2 == [4, 2]
+    for e, p2 in zip(exact, padded):
+        np.testing.assert_allclose(e, p2, atol=1e-6)
+
+
+def test_warmup_precompiles_all_serving_programs(rng):
+    """After warmup, serving any mix under the warmed max length dispatches
+    only shapes the warmup already ran."""
+    cfg = ModelConfig(
+        model_name="melgan", arch=MelGANConfig(channels=(8, 8, 8, 8, 8))
+    )
+    gen = build_generator(cfg)
+    params = jax.jit(gen.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 8, 80), np.float32)
+    )["params"]
+
+    shapes = set()
+
+    def fwd(p, m):
+        shapes.add(m.shape[:2])
+        return gen.apply({"params": p}, m)
+
+    bs = BatchedSynthesizer(
+        fwd, params, samples_per_frame=240, bucket_frames=32, max_batch=4,
+        batch_pad="pow2",
+    )
+    n = bs.warmup([32, 64], feature_dim=80)
+    assert n == 6  # 2 buckets x sizes {1, 2, 4}
+    warmed = set(shapes)
+
+    mels = [
+        rng.standard_normal((T, 80)).astype(np.float32)
+        for T in (5, 20, 31, 33, 50, 64, 10)
+    ]
+    outs = bs(mels)
+    assert shapes == warmed, f"unwarmed shapes dispatched: {shapes - warmed}"
+    for m, o in zip(mels, outs):
+        assert o.shape == (m.shape[0] * 240,)
