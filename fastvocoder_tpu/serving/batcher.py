@@ -15,6 +15,7 @@ work stays in the synthesizer's compiled programs.
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
@@ -24,6 +25,11 @@ from typing import Callable, List, Sequence
 import numpy as np
 
 _CLOSE = object()
+
+
+class QueueFull(RuntimeError):
+    """Raised by submit() when the pending-request cap is reached — the
+    service's backpressure signal (the HTTP frontend maps it to 503)."""
 
 
 class DynamicBatcher:
@@ -40,13 +46,16 @@ class DynamicBatcher:
         synthesize: Callable[[Sequence[np.ndarray]], List[np.ndarray]],
         max_batch: int = 32,
         max_wait_ms: float = 5.0,
+        max_pending: int = 1024,
     ):
         self.synthesize = synthesize
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self.requests_served = 0
         self.batches_run = 0
-        self._q: "queue.Queue" = queue.Queue()
+        self._latencies: "collections.deque" = collections.deque(maxlen=1024)
+        self._batch_sizes: "collections.deque" = collections.deque(maxlen=1024)
+        self._q: "queue.Queue" = queue.Queue(maxsize=max_pending)
         self._closed = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
@@ -55,8 +64,30 @@ class DynamicBatcher:
         if self._closed:
             raise RuntimeError("DynamicBatcher is closed")
         fut: "Future[np.ndarray]" = Future()
-        self._q.put((mel, fut))
+        try:
+            self._q.put_nowait((mel, fut, time.monotonic()))
+        except queue.Full:
+            raise QueueFull(
+                f"{self._q.maxsize} requests already pending"
+            ) from None
         return fut
+
+    def stats(self) -> dict:
+        """Rolling (last 1024 requests) service statistics."""
+        lat = sorted(self._latencies)
+        bs = list(self._batch_sizes)
+
+        def pct(p):
+            return lat[min(len(lat) - 1, int(p * len(lat)))] if lat else None
+
+        return {
+            "requests_served": self.requests_served,
+            "batches_run": self.batches_run,
+            "pending": self._q.qsize(),
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p95": pct(0.95),
+            "mean_batch_size": sum(bs) / len(bs) if bs else None,
+        }
 
     def __call__(self, mel: np.ndarray) -> np.ndarray:
         """Blocking convenience: submit + wait."""
@@ -67,7 +98,7 @@ class DynamicBatcher:
         submitted, then exits."""
         if not self._closed:
             self._closed = True
-            self._q.put(_CLOSE)
+            self._q.put(_CLOSE)  # blocking put: the cap never drops it
         self._thread.join()
 
     # ---- worker ----
@@ -108,13 +139,16 @@ class DynamicBatcher:
                 return
 
     def _run(self, batch):
-        mels = [m for m, _ in batch]
+        mels = [m for m, _, _ in batch]
         try:
             wavs = self.synthesize(mels)
-            for (_, fut), wav in zip(batch, wavs):
+            done = time.monotonic()
+            for (_, fut, t0), wav in zip(batch, wavs):
                 fut.set_result(wav)
+                self._latencies.append((done - t0) * 1e3)
+            self._batch_sizes.append(len(batch))
             self.requests_served += len(batch)
             self.batches_run += 1
         except Exception as e:  # deliver to every waiter, keep serving
-            for _, fut in batch:
+            for _, fut, _ in batch:
                 fut.set_exception(e)

@@ -22,7 +22,7 @@ from typing import Callable
 
 import numpy as np
 
-from fastvocoder_tpu.serving.batcher import DynamicBatcher
+from fastvocoder_tpu.serving.batcher import DynamicBatcher, QueueFull
 
 MAX_BODY = 256 * 1024 * 1024  # npy mels are small; reject absurd payloads
 
@@ -53,12 +53,7 @@ def _handler_class(
                 return self._reply_json(404, {"error": "unknown path"})
             self._reply_json(
                 200,
-                {
-                    "status": "ok",
-                    "model": model_name,
-                    "requests_served": batcher.requests_served,
-                    "batches_run": batcher.batches_run,
-                },
+                {"status": "ok", "model": model_name, **batcher.stats()},
             )
 
         def do_POST(self):
@@ -82,6 +77,8 @@ def _handler_class(
                 )
             try:
                 wav = batcher.submit(mel.astype(np.float32)).result()
+            except QueueFull as e:  # backpressure: shed load, retry later
+                return self._reply_json(503, {"error": str(e)})
             except Exception as e:
                 return self._reply_json(500, {"error": str(e)})
             buf = io.BytesIO()
@@ -99,12 +96,16 @@ def make_server(
     port: int = 8571,
     max_batch: int = 32,
     max_wait_ms: float = 5.0,
+    max_pending: int = 1024,
 ):
     """-> (ThreadingHTTPServer, DynamicBatcher).  `synthesize` is any
     list[mel]->list[wav] callable (ServingModel, BatchedSynthesizer, or a
     test stub).  Caller owns serve_forever/shutdown and batcher.close()."""
     batcher = DynamicBatcher(
-        synthesize, max_batch=max_batch, max_wait_ms=max_wait_ms
+        synthesize,
+        max_batch=max_batch,
+        max_wait_ms=max_wait_ms,
+        max_pending=max_pending,
     )
     httpd = ThreadingHTTPServer(
         (host, port), _handler_class(batcher, input_channels, model_name)

@@ -233,3 +233,73 @@ def test_serve_driver_end_to_end(tmp_path, rng):
     finally:
         httpd.shutdown()
         batcher.close()
+
+
+def test_batcher_backpressure_and_stats():
+    """A full pending queue raises QueueFull (HTTP 503); stats() reports
+    rolling latency percentiles and mean batch size."""
+    import threading as th
+
+    from fastvocoder_tpu.serving.batcher import QueueFull
+
+    release = th.Event()
+
+    def synth(mels):
+        release.wait(10)
+        return [m[:, 0] for m in mels]
+
+    b = DynamicBatcher(synth, max_batch=1, max_wait_ms=1.0, max_pending=2)
+    futs = []
+    # worker takes one request and blocks in synth; 2 more fill the queue
+    futs.append(b.submit(np.zeros((2, 2), np.float32)))
+    time.sleep(0.2)
+    futs.append(b.submit(np.zeros((2, 2), np.float32)))
+    futs.append(b.submit(np.zeros((2, 2), np.float32)))
+    with pytest.raises(QueueFull):
+        b.submit(np.zeros((2, 2), np.float32))
+    release.set()
+    for f in futs:
+        f.result(timeout=10)
+    b.close()
+    s = b.stats()
+    assert s["requests_served"] == 3 and s["pending"] == 0
+    assert s["latency_ms_p50"] is not None and s["latency_ms_p95"] >= s["latency_ms_p50"]
+    assert s["mean_batch_size"] == 1.0
+
+
+def test_http_503_on_backpressure():
+    import threading as th
+
+    release = th.Event()
+
+    def synth(mels):
+        release.wait(10)
+        return [m[:, 0] for m in mels]
+
+    httpd, batcher = make_server(
+        synth, input_channels=80, model_name="stub", port=0,
+        max_batch=1, max_wait_ms=1.0, max_pending=1,
+    )
+    port = httpd.server_address[1]
+    run_server(httpd, batcher)
+    base = f"http://127.0.0.1:{port}"
+    mel = _npy_bytes(np.zeros((2, 80), np.float32))
+    try:
+        codes = {}
+
+        def hit(i):
+            codes[i], _ = _post(base + "/synthesize", mel)
+
+        threads = [th.Thread(target=hit, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+            time.sleep(0.1)  # 1 in-flight, 1 queued, rest shed
+        time.sleep(0.3)
+        release.set()
+        for t in threads:
+            t.join()
+        assert 503 in codes.values(), codes
+        assert list(codes.values()).count(200) >= 2, codes
+    finally:
+        httpd.shutdown()
+        batcher.close()
