@@ -58,11 +58,11 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
 
         if not fused_train_on():
             return False
-        # C=64 is fused for inference but NOT for training: the backward
-        # kernel's dW output refs double the ~9.4 MB of s=2 block-Toeplitz
-        # weights resident in VMEM (18.9 MB > the 16 MB scoped limit, no
-        # tile size can save it — measured OOM at reference geometry)
-        if cfg.resblock_type != "1" or ch not in (16, 32):
+        # C=64 backward runs one parallel branch per Pallas call (the s=2
+        # block-Toeplitz weights + their f32 dW would otherwise need ~19 MB
+        # of VMEM refs > the 16 MB scoped limit) — see
+        # ops/fused_mrf.py::_mrf_interior_bwd
+        if cfg.resblock_type != "1" or ch not in (16, 32, 64):
             return False
         if not isinstance(T, int):
             return False

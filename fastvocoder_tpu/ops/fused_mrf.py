@@ -219,15 +219,17 @@ def _run_mrf_fwd(xb, flat, meta, Qt, H, Q_real, interpret):
 
 
 def _mrf_bwd_kernel(
-    meta, Qt: int, H: int, Q_real: int, g_ref, left_ref, center_ref,
-    right_ref, *refs
+    meta, Qt: int, H: int, Q_real: int, g_div: int, g_ref, left_ref,
+    center_ref, right_ref, *refs
 ):
     """Backward of the fused MRF stage over one tile, f32 from VMEM.
 
     The MRF branches are parallel (mean of resblocks), so each branch is
     recomputed and adjointed independently from the tile's x rows; dW is
     accumulated across the sequential grid, dx splits into main + left +
-    right carries folded in XLA."""
+    right carries folded in XLA.  `meta` may be a SUBSET of the stage's
+    branches (the per-branch VMEM split for wide stages); `g_div` is
+    always the full stage's branch count (the d(mean) scale)."""
     from jax.experimental import pallas as pl
 
     n_convs = sum(2 * len(pairs) for pairs in meta)
@@ -253,7 +255,7 @@ def _mrf_bwd_kernel(
     ).astype(jnp.float32)
     x0 = x0 * row_valid(x0.shape[0], 0)
 
-    g = g_ref[0].astype(jnp.float32) / len(meta)  # d(mean) per branch
+    g = g_ref[0].astype(jnp.float32) / g_div  # d(mean) per branch
 
     dx_acc = None
     dws = [None] * (2 * n_convs)
@@ -372,7 +374,7 @@ def _mrf_bwd_kernel(
             ref[...] += val.astype(ref.dtype)
 
 
-def _run_mrf_bwd(xb, flat, g_buf, meta, Qt, H, Q_real, interpret):
+def _run_mrf_bwd(xb, flat, g_buf, meta, Qt, H, Q_real, interpret, g_div=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -380,7 +382,9 @@ def _run_mrf_bwd(xb, flat, g_buf, meta, Qt, H, Q_real, interpret):
     nQ = Qpad // Qt
     nH = Qpad // H
     r = Qt // H
-    kernel = functools.partial(_mrf_bwd_kernel, meta, Qt, H, Q_real)
+    kernel = functools.partial(
+        _mrf_bwd_kernel, meta, Qt, H, Q_real, g_div or len(meta)
+    )
     w_specs = [
         pl.BlockSpec(
             w.shape, lambda b, q, n=w.ndim: (0,) * n, memory_space=pltpu.VMEM
@@ -458,9 +462,33 @@ def _mrf_interior_fwd(xb, flat, meta, Qt, H, Q_real, interpret):
     return _run_mrf_fwd(xb, flat, meta, Qt, H, Q_real, interpret), (xb, flat)
 
 
+# Combined VMEM budget for weight refs + f32 dW output refs in one backward
+# call.  C<=32 stages fit whole (C=32: ~12 MB, measured working on v5e);
+# C=64's s=2 block-Toeplitz weights alone are ~9.4 MB, so W + dW = ~19 MB
+# exceeds the 16 MB scoped limit — those stages run the backward one
+# parallel branch at a time (each branch is independent given x and the
+# cotangent, so the split is exact; dx sums across calls in XLA).
+_BWD_WEIGHT_BUDGET = 14 * 2**20
+
+
 def _mrf_interior_bwd(meta, Qt, H, Q_real, interpret, res, g):
     xb, flat = res
-    return _run_mrf_bwd(xb, flat, g, meta, Qt, H, Q_real, interpret)
+    wbytes = sum(int(np.prod(w.shape)) for w in flat) * 4  # f32 W
+    if 2 * wbytes <= _BWD_WEIGHT_BUDGET:
+        return _run_mrf_bwd(xb, flat, g, meta, Qt, H, Q_real, interpret)
+    dx = None
+    dflat = []
+    i = 0
+    for pairs in meta:
+        n = 4 * len(pairs)
+        d, dsub = _run_mrf_bwd(
+            xb, tuple(flat[i : i + n]), g, (pairs,), Qt, H, Q_real,
+            interpret, g_div=len(meta),
+        )
+        i += n
+        dx = d if dx is None else dx + d
+        dflat.extend(dsub)
+    return dx, tuple(dflat)
 
 
 _mrf_interior.defvjp(_mrf_interior_fwd, _mrf_interior_bwd)

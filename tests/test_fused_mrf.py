@@ -124,6 +124,7 @@ def test_fused_mrf_gate_training_form(monkeypatch):
     assert not _use_fused_mrf(cfg, True, 16, 1920)    # default: off
     monkeypatch.setenv("FASTVOCODER_FUSED_TRAIN", "1")
     assert _use_fused_mrf(cfg, True, 16, 1920)
+    assert _use_fused_mrf(cfg, True, 64, 1920)        # C=64: split backward
     assert not _use_fused_mrf(cfg, True, 16, 1921)    # shape gate still on
     monkeypatch.delenv("FASTVOCODER_FUSED_TRAIN")
     assert not _use_fused_mrf(cfg, False, 128, 1920)  # too wide to block
@@ -132,7 +133,7 @@ def test_fused_mrf_gate_training_form(monkeypatch):
     assert not _use_fused_mrf(cfg, False, 64, 1920, batch=1)  # batch gate
 
 
-@pytest.mark.parametrize("C,s", [(16, 8), (32, 4)])
+@pytest.mark.parametrize("C,s", [(16, 8), (32, 4), (64, 2)])
 def test_fused_mrf_grad_parity(C, s, rng):
     """custom_vjp backward kernel == autodiff through the ResBlock1 module
     path, wrt the input and every conv weight/bias."""
