@@ -58,11 +58,11 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
 
         if not fused_train_on():
             return False
-        # C=64 backward runs one parallel branch per Pallas call (the s=2
-        # block-Toeplitz weights + their f32 dW would otherwise need ~19 MB
-        # of VMEM refs > the 16 MB scoped limit) — see
+        # C>=64 backward runs one parallel branch per Pallas call (the
+        # weights + their f32 dW would otherwise need ~16-19 MB of VMEM
+        # refs > the 16 MB scoped limit) — see
         # ops/fused_mrf.py::_mrf_interior_bwd
-        if cfg.resblock_type != "1" or ch not in (16, 32, 64):
+        if cfg.resblock_type != "1" or ch not in (16, 32, 64, 128):
             return False
         if not isinstance(T, int):
             return False
@@ -81,9 +81,9 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
     mode = _fused_mrf_mode()
     if mode == "0" or cfg.resblock_type != "1":
         return False
-    if ch not in (16, 32, 64) or not isinstance(T, int):
+    if ch not in (16, 32, 64, 128) or not isinstance(T, int):
         return False
-    if ch in (32, 64) and batch == 1 and mode == "auto":
+    if ch in (32, 64, 128) and batch == 1 and mode == "auto":
         return False
     if mode == "auto" and jax.default_backend() != "tpu":
         return False

@@ -89,15 +89,21 @@ def blocked_conv_weight(kernel: jnp.ndarray, dilation: int, s: int) -> jnp.ndarr
     return w3.reshape(Wq, s * Cin, s * Cout)
 
 
-def _blocked_conv_value(t: jnp.ndarray, w3_ref) -> jnp.ndarray:
-    """Valid blocked conv of a VMEM value t (L, 128) with w3 (Wq, 128, 128)."""
+def _blocked_conv_value(t: jnp.ndarray, w3_ref, dj: int = 1) -> jnp.ndarray:
+    """Valid blocked conv of a VMEM value t (L, 128) with w3 (Wq, 128, 128).
+
+    `dj` is the static row stride between taps: 1 for the dense
+    block-Toeplitz form (s > 1), or the sample-domain dilation at s == 1,
+    where every intermediate tap matrix is structurally zero and w3 stores
+    only the K real taps (the original (K, C, C) kernel verbatim)."""
     Wq = w3_ref.shape[0]
     L = t.shape[0]
-    Lout = L - Wq + 1
+    Lout = L - (Wq - 1) * dj
     acc = None
     for j in range(Wq):
         part = jnp.dot(
-            t[j : j + Lout], w3_ref[j], preferred_element_type=jnp.float32
+            t[j * dj : j * dj + Lout], w3_ref[j],
+            preferred_element_type=jnp.float32,
         )
         acc = part if acc is None else acc + part
     return acc
@@ -123,7 +129,7 @@ def _mrf_kernel(
     [0, Q_real) and are zeroed by the input mask below, so the clamped
     content never matters.  refs = 2 per conv (w3, bias) ..., out_ref.
     `meta` is the static per-resblock list of
-    [(off1, right1, off2, right2), ...] margins."""
+    [(off1, right1, dj1, off2, right2, dj2), ...] margins + tap strides."""
     from jax.experimental import pallas as pl
 
     n_convs = sum(2 * len(pairs) for pairs in meta)
@@ -148,15 +154,15 @@ def _mrf_kernel(
     for pairs in meta:  # one resblock
         h = x0
         a_r = 0
-        for off1, right1, off2, right2 in pairs:
+        for off1, right1, dj1, off2, right2, dj2 in pairs:
             w1, b1 = w_refs[ref_i], w_refs[ref_i + 1]
             w2, b2 = w_refs[ref_i + 2], w_refs[ref_i + 3]
             ref_i += 4
             t = _leaky(h)
-            t = (_blocked_conv_value(t, w1) + b1[:]).astype(dtype)
+            t = (_blocked_conv_value(t, w1, dj1) + b1[:]).astype(dtype)
             t = mask_outside_sequence(t, a_r + off1)
             t = _leaky(t)
-            t = (_blocked_conv_value(t, w2) + b2[:]).astype(dtype)
+            t = (_blocked_conv_value(t, w2, dj2) + b2[:]).astype(dtype)
             t = mask_outside_sequence(t, a_r + off1 + off2)
             a, bb = off1 + off2, right1 + right2
             h = h[a : h.shape[0] - bb] + t
@@ -266,7 +272,7 @@ def _mrf_bwd_kernel(
         hhs, tAs = [], []
         hh = x0
         a_r = 0
-        for off1, right1, off2, right2 in pairs:
+        for off1, right1, dj1, off2, right2, dj2 in pairs:
             w1 = w_refs[ref_i][...].astype(jnp.float32)
             b1 = w_refs[ref_i + 1][...].astype(jnp.float32)
             w2 = w_refs[ref_i + 2][...].astype(jnp.float32)
@@ -274,21 +280,23 @@ def _mrf_bwd_kernel(
             ref_i += 4
             hhs.append(hh)
             t1 = jnp.where(hh >= 0, hh, hh * LRELU_SLOPE)
-            Lo1 = t1.shape[0] - w1.shape[0] + 1
+            Lo1 = t1.shape[0] - (w1.shape[0] - 1) * dj1
             acc = None
             for j in range(w1.shape[0]):
                 p = jnp.dot(
-                    t1[j : j + Lo1], w1[j], preferred_element_type=jnp.float32
+                    t1[j * dj1 : j * dj1 + Lo1], w1[j],
+                    preferred_element_type=jnp.float32,
                 )
                 acc = p if acc is None else acc + p
             tA = (acc + b1) * row_valid(Lo1, a_r + off1)
             tAs.append(tA)
             t3 = jnp.where(tA >= 0, tA, tA * LRELU_SLOPE)
-            Lo2 = t3.shape[0] - w2.shape[0] + 1
+            Lo2 = t3.shape[0] - (w2.shape[0] - 1) * dj2
             acc = None
             for j in range(w2.shape[0]):
                 p = jnp.dot(
-                    t3[j : j + Lo2], w2[j], preferred_element_type=jnp.float32
+                    t3[j * dj2 : j * dj2 + Lo2], w2[j],
+                    preferred_element_type=jnp.float32,
                 )
                 acc = p if acc is None else acc + p
             tB = (acc + b2) * row_valid(Lo2, a_r + off1 + off2)
@@ -303,15 +311,15 @@ def _mrf_bwd_kernel(
         )
         wi = base_i + 4 * (len(pairs) - 1)
         for pi in reversed(range(len(pairs))):
-            off1, right1, off2, right2 = pairs[pi]
+            off1, right1, dj1, off2, right2, dj2 = pairs[pi]
             w1 = w_refs[wi][...].astype(jnp.float32)
             w2 = w_refs[wi + 2][...].astype(jnp.float32)
             hh_in = hhs[pi]
             tA = tAs[pi]
             a, bb = off1 + off2, right1 + right2
-            a_here = sum(p[0] + p[2] for p in pairs[:pi])
+            a_here = sum(p[0] + p[3] for p in pairs[:pi])
             Lh = hh_in.shape[0]
-            Lo1 = Lh - w1.shape[0] + 1
+            Lo1 = Lh - (w1.shape[0] - 1) * dj1
             Lo2 = d.shape[0]
 
             d_tB = d * row_valid(Lo2, a_here + off1 + off2)
@@ -319,7 +327,7 @@ def _mrf_bwd_kernel(
             # dW2 / db2 / d_t3
             dw2 = jnp.stack([
                 jnp.dot(
-                    t3[j : j + Lo2].T, d_tB,
+                    t3[j * dj2 : j * dj2 + Lo2].T, d_tB,
                     preferred_element_type=jnp.float32,
                 )
                 for j in range(w2.shape[0])
@@ -329,14 +337,14 @@ def _mrf_bwd_kernel(
             for j in range(w2.shape[0]):
                 p = jnp.pad(
                     jnp.dot(d_tB, w2[j].T, preferred_element_type=jnp.float32),
-                    ((j, Lo1 - j - Lo2), (0, 0)),
+                    ((j * dj2, Lo1 - j * dj2 - Lo2), (0, 0)),
                 )
                 d_t3 = p if d_t3 is None else d_t3 + p
             d_tA = d_t3 * lmask(tA) * row_valid(Lo1, a_here + off1)
             t1 = jnp.where(hh_in >= 0, hh_in, hh_in * LRELU_SLOPE)
             dw1 = jnp.stack([
                 jnp.dot(
-                    t1[j : j + Lo1].T, d_tA,
+                    t1[j * dj1 : j * dj1 + Lo1].T, d_tA,
                     preferred_element_type=jnp.float32,
                 )
                 for j in range(w1.shape[0])
@@ -346,7 +354,7 @@ def _mrf_bwd_kernel(
             for j in range(w1.shape[0]):
                 p = jnp.pad(
                     jnp.dot(d_tA, w1[j].T, preferred_element_type=jnp.float32),
-                    ((j, Lh - j - Lo1), (0, 0)),
+                    ((j * dj1, Lh - j * dj1 - Lo1), (0, 0)),
                 )
                 d_t1 = p if d_t1 is None else d_t1 + p
             d = d_t1 * lmask(hh_in) + jnp.pad(d, ((a, bb), (0, 0)))
@@ -464,10 +472,11 @@ def _mrf_interior_fwd(xb, flat, meta, Qt, H, Q_real, interpret):
 
 # Combined VMEM budget for weight refs + f32 dW output refs in one backward
 # call.  C<=32 stages fit whole (C=32: ~12 MB, measured working on v5e);
-# C=64's s=2 block-Toeplitz weights alone are ~9.4 MB, so W + dW = ~19 MB
-# exceeds the 16 MB scoped limit — those stages run the backward one
-# parallel branch at a time (each branch is independent given x and the
-# cotangent, so the split is exact; dx sums across calls in XLA).
+# C=64's s=2 block-Toeplitz weights alone are ~9.4 MB (C=128's sparse-tap
+# weights ~8.2 MB), so W + dW = ~16-19 MB exceeds the 16 MB scoped limit —
+# those stages run the backward one parallel branch at a time (each branch
+# is independent given x and the cotangent, so the split is exact; dx sums
+# across calls in XLA).
 _BWD_WEIGHT_BUDGET = 14 * 2**20
 
 
@@ -502,8 +511,12 @@ def fused_mrf_stage(
 ) -> jnp.ndarray:
     """Run a whole HiFiGAN MRF stage as one fused Pallas program.
 
-    x: (B, T, C) stage input (post-upsample), C in {16, 32, 64}
-       (s*C == 128), T % s == 0.
+    x: (B, T, C) stage input (post-upsample), C in {16, 32, 64, 128}
+       (s*C == 128), T % s == 0.  At C == 128 (s == 1) the layout is
+       already lane-full and the dilated convs keep their original K taps
+       with a static row stride of `dilation` — the dense block-Toeplitz
+       form would carry (K-1)*(d-1) all-zero (128, 128) tap matrices
+       (~15 MB of structural zeros for the k={3,7,11} MRF).
     resblocks: per resblock, a list of (kernel1, bias1, dilation, kernel2,
        bias2) for each (dilated conv, dilation-1 conv) pair — the effective
        (weight-norm applied) kernels in (K, C, C) layout, biases (C,).
@@ -534,9 +547,13 @@ def fused_mrf_stage(
             K2 = k2.shape[0]
             off1, right1 = conv_margins(K1, d, s)
             off2, right2 = conv_margins(K2, 1, s)
-            pair_meta.append((off1, right1, off2, right2))
+            # s == 1: skip the structurally-zero taps — the weight ref is
+            # the original (K, 128, 128) kernel, taps stride by `d` rows
+            dj1 = d if s == 1 else 1
+            pair_meta.append((off1, right1, dj1, off2, right2, 1))
             flat_weights += [
-                blocked_conv_weight(k1.astype(dtype), d, s),
+                k1.astype(dtype) if dj1 > 1
+                else blocked_conv_weight(k1.astype(dtype), d, s),
                 jnp.tile(b1.astype(dtype), s)[None, :],
                 blocked_conv_weight(k2.astype(dtype), 1, s),
                 jnp.tile(b2.astype(dtype), s)[None, :],

@@ -39,7 +39,7 @@ def test_blocked_conv_weight_matches_conv1d(rng):
     r = np.random.default_rng(3)
     for K, d, C, s in [(3, 1, 16, 8), (3, 5, 16, 8), (11, 5, 16, 8),
                        (7, 3, 32, 4), (11, 1, 32, 4), (11, 5, 64, 2),
-                       (7, 1, 64, 2)]:
+                       (7, 1, 64, 2), (11, 5, 128, 1), (3, 1, 128, 1)]:
         T = 12 * s
         x = jnp.asarray(r.standard_normal((1, T, C)).astype(np.float32))
         w = jnp.asarray(r.standard_normal((K, C, C)).astype(np.float32))
@@ -60,12 +60,14 @@ def test_blocked_conv_weight_matches_conv1d(rng):
         )
 
 
-@pytest.mark.parametrize("C,s", [(16, 8), (32, 4), (64, 2)])
+@pytest.mark.parametrize("C,s", [(16, 8), (32, 4), (64, 2), (128, 1)])
 def test_fused_mrf_stage_matches_resblocks(C, s, rng):
     """Whole-MRF fusion == mean of ResBlock1 outputs, across tile
     boundaries and sequence edges (interpret mode)."""
     r = np.random.default_rng(C)
-    T, B = 30 * s, 2  # Q=30 over tile_q=16 -> crosses a tile boundary
+    # Q over the tile grid must cross a tile boundary; at s=1 the halo H
+    # (=64 blocks) floors the tile size, so the sequence must exceed it
+    T, B = (30 * s if s > 1 else 150), 2
     x = jnp.asarray(r.standard_normal((B, T, C)).astype(np.float32) * 0.3)
     refs, weights = [], []
     for rk in (3, 7, 11):
@@ -125,20 +127,22 @@ def test_fused_mrf_gate_training_form(monkeypatch):
     monkeypatch.setenv("FASTVOCODER_FUSED_TRAIN", "1")
     assert _use_fused_mrf(cfg, True, 16, 1920)
     assert _use_fused_mrf(cfg, True, 64, 1920)        # C=64: split backward
+    assert _use_fused_mrf(cfg, True, 128, 1920)       # C=128: sparse taps
     assert not _use_fused_mrf(cfg, True, 16, 1921)    # shape gate still on
     monkeypatch.delenv("FASTVOCODER_FUSED_TRAIN")
-    assert not _use_fused_mrf(cfg, False, 128, 1920)  # too wide to block
+    assert not _use_fused_mrf(cfg, False, 256, 1920)  # too wide to block
     assert not _use_fused_mrf(cfg, False, 16, 1921)   # not divisible by s
     assert not _use_fused_mrf(cfg, False, 64, 1921)   # s=2 needs even T
     assert not _use_fused_mrf(cfg, False, 64, 1920, batch=1)  # batch gate
+    assert not _use_fused_mrf(cfg, False, 128, 1920, batch=1)
 
 
-@pytest.mark.parametrize("C,s", [(16, 8), (32, 4), (64, 2)])
+@pytest.mark.parametrize("C,s", [(16, 8), (32, 4), (64, 2), (128, 1)])
 def test_fused_mrf_grad_parity(C, s, rng):
     """custom_vjp backward kernel == autodiff through the ResBlock1 module
     path, wrt the input and every conv weight/bias."""
     r = np.random.default_rng(C + 1)
-    T, B = 30 * s, 2
+    T, B = (30 * s if s > 1 else 150), 2
     x = jnp.asarray(r.standard_normal((B, T, C)).astype(np.float32) * 0.3)
     refs_mods, weights = [], []
     for rk in (3, 7, 11):
