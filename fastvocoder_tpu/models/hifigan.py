@@ -66,7 +66,7 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
             return False
         if not isinstance(T, int):
             return False
-        if T % (128 // ch) != 0:
+        if ch < 128 and T % (128 // ch) != 0:
             # an otherwise-eligible training stage quietly losing the fused
             # step (the measured 1.42x) is the same silent perf cliff as in
             # inference — say so once
@@ -81,13 +81,13 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
     mode = _fused_mrf_mode()
     if mode == "0" or cfg.resblock_type != "1":
         return False
-    if ch not in (16, 32, 64, 128) or not isinstance(T, int):
+    if ch not in (16, 32, 64, 128, 256) or not isinstance(T, int):
         return False
-    if ch in (32, 64, 128) and batch == 1 and mode == "auto":
+    if ch >= 32 and batch == 1 and mode == "auto":
         return False
     if mode == "auto" and jax.default_backend() != "tpu":
         return False
-    if T % (128 // ch) != 0:
+    if ch < 128 and T % (128 // ch) != 0:
         # every other gate passed: the stage would have run fused but for
         # the sequence alignment — the silent perf cliff VERDICT flagged
         _warn_fallback(

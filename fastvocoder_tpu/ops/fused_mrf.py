@@ -199,15 +199,15 @@ def _run_mrf_fwd(xb, flat, meta, Qt, H, Q_real, interpret):
     r = Qt // H
     x_specs = [
         pl.BlockSpec(
-            (1, H, 128),
+            (1, H, W),
             lambda b, q: (b, jnp.maximum(q * r - 1, 0), 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, Qt, 128), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+            (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
         ),
         pl.BlockSpec(
-            (1, H, 128),
+            (1, H, W),
             lambda b, q: (b, jnp.minimum(q * r + r, nH - 1), 0),
             memory_space=pltpu.VMEM,
         ),
@@ -217,9 +217,9 @@ def _run_mrf_fwd(xb, flat, meta, Qt, H, Q_real, interpret):
         grid=(B, nQ),
         in_specs=x_specs + w_specs,
         out_specs=pl.BlockSpec(
-            (1, Qt, 128), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
+            (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Qpad, 128), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Qpad, W), dtype),
         interpret=interpret,
     )(xb, xb, xb, *flat)
 
@@ -407,7 +407,7 @@ def _run_mrf_bwd(xb, flat, g_buf, meta, Qt, H, Q_real, interpret, g_div=None):
                 (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, H, 128),
+                (1, H, W),
                 lambda b, q: (b, jnp.maximum(q * r - 1, 0), 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -415,7 +415,7 @@ def _run_mrf_bwd(xb, flat, g_buf, meta, Qt, H, Q_real, interpret, g_div=None):
                 (1, Qt, W), lambda b, q: (b, q, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, H, 128),
+                (1, H, W),
                 lambda b, q: (b, jnp.minimum(q * r + r, nH - 1), 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -479,6 +479,11 @@ def _mrf_interior_fwd(xb, flat, meta, Qt, H, Q_real, interpret):
 # across calls in XLA).
 _BWD_WEIGHT_BUDGET = 14 * 2**20
 
+# Forward weight-ref budget per Pallas call: C<=128 stages (<= ~9.4 MB of
+# effective kernels, measured working with 512-row tiles on v5e) run whole;
+# wider stages split per branch (see fused_mrf_stage).
+_FWD_WEIGHT_BUDGET = 12 * 2**20
+
 
 def _mrf_interior_bwd(meta, Qt, H, Q_real, interpret, res, g):
     xb, flat = res
@@ -511,12 +516,14 @@ def fused_mrf_stage(
 ) -> jnp.ndarray:
     """Run a whole HiFiGAN MRF stage as one fused Pallas program.
 
-    x: (B, T, C) stage input (post-upsample), C in {16, 32, 64, 128}
-       (s*C == 128), T % s == 0.  At C == 128 (s == 1) the layout is
-       already lane-full and the dilated convs keep their original K taps
-       with a static row stride of `dilation` — the dense block-Toeplitz
-       form would carry (K-1)*(d-1) all-zero (128, 128) tap matrices
-       (~15 MB of structural zeros for the k={3,7,11} MRF).
+    x: (B, T, C) stage input (post-upsample), C in {16, 32, 64} (s*C ==
+       128, T % s == 0) or a multiple of 128 (s == 1).  At s == 1 the
+       rows are already lane-full and the dilated convs keep their
+       original K taps with a static row stride of `dilation` — the dense
+       block-Toeplitz form would carry (K-1)*(d-1) all-zero tap matrices
+       (~15 MB of structural zeros for the k={3,7,11} MRF at C=128).
+       Stages whose weights exceed the VMEM budget (C=256) run one
+       parallel branch per Pallas call with the mean folded in XLA.
     resblocks: per resblock, a list of (kernel1, bias1, dilation, kernel2,
        bias2) for each (dilated conv, dilation-1 conv) pair — the effective
        (weight-norm applied) kernels in (K, C, C) layout, biases (C,).
@@ -527,14 +534,21 @@ def fused_mrf_stage(
     from jax.experimental.pallas import tpu as pltpu
 
     B, T, C = x.shape
-    s = 128 // C
-    assert s * C == 128 and T % s == 0, (C, T)
+    if C >= 128:
+        # lane-full (or multi-register) rows: s = 1, Mosaic tiles the
+        # >128-wide registers; dilated convs use sparse taps (dj = d)
+        assert C % 128 == 0, C
+        s = 1
+    else:
+        s = 128 // C
+        assert s * C == 128 and T % s == 0, (C, T)
     Q = T // s
     dtype = x.dtype
     if tile_q <= 0:
         # C=64's block-Toeplitz weights alone are ~9 MB f32 (Wq up to 27 at
-        # k=11 d=5 with s=2); halve the tile so tiles + weights fit VMEM
-        tile_q = 1024 if C <= 32 else 512
+        # k=11 d=5 with s=2); halve the tile so tiles + weights fit VMEM.
+        # C=256 rows are 2x wider, halve again.
+        tile_q = 1024 if C <= 32 else (512 if C <= 128 else 256)
 
     meta = []
     flat_weights = []
@@ -571,11 +585,31 @@ def fused_mrf_stage(
     Qpad = nQ * Qt
     nH = Qpad // H  # halo-block grid size
 
-    xb = x.reshape(B, Q, 128)
+    xb = x.reshape(B, Q, s * C)
     if Qpad != Q:
         xb = jnp.pad(xb, ((0, 0), (0, Qpad - Q), (0, 0)))
 
     del nH  # computed inside the interior op
     meta_t = tuple(tuple(pm) for pm in meta)
-    out = _mrf_interior(xb, tuple(flat_weights), meta_t, Qt, H, Q, interpret)
+    wbytes = sum(int(np.prod(w.shape)) * w.dtype.itemsize for w in flat_weights)
+    if wbytes > _FWD_WEIGHT_BUDGET and len(meta_t) > 1:
+        # C=256's per-stage weights (~31 MB f32) cannot all sit in VMEM:
+        # run one parallel branch per Pallas call (exact — the branches
+        # only meet at the mean) and fold the mean in XLA.  ~3 reads of x
+        # instead of 1, still ~6x less traffic than the un-fused 18 convs.
+        out = None
+        i = 0
+        for pairs in meta_t:
+            n = 4 * len(pairs)
+            o = _mrf_interior(
+                xb, tuple(flat_weights[i : i + n]), (pairs,), Qt, H, Q,
+                interpret,
+            )
+            i += n
+            out = o if out is None else out + o
+        out = out / len(meta_t)
+    else:
+        out = _mrf_interior(
+            xb, tuple(flat_weights), meta_t, Qt, H, Q, interpret
+        )
     return out[:, :Q].reshape(B, Q * s, C)
