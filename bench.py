@@ -237,6 +237,11 @@ def main():
             xrt = bench_batched(fwd, params, mels)
             extras["basis_melgan_batched_xrealtime"] = round(xrt, 1)
             print(f"basis_melgan_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
+        if key == "hifigan_large_rtf":
+            # the C=256/128 MRF fusions land here — keep the number visible
+            xrt = bench_batched(fwd, params, mels)
+            extras["hifigan_large_batched_xrealtime"] = round(xrt, 1)
+            print(f"hifigan_large_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
         if key == "hifigan_light_rtf":
             xrt = bench_batched(fwd, params, mels)
             extras["hifigan_light_batched_xrealtime"] = round(xrt, 1)
