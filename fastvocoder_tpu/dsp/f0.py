@@ -58,7 +58,8 @@ def extract_f0(
     y1 = nac[np.arange(n_frames), li]
     y2 = nac[np.arange(n_frames), li + 1]
     denom = y0 - 2 * y1 + y2
-    delta = np.where(np.abs(denom) > 1e-12, 0.5 * (y0 - y2) / denom, 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        delta = np.where(np.abs(denom) > 1e-12, 0.5 * (y0 - y2) / denom, 0.0)
     lag = li + np.clip(delta, -1, 1)
 
     f0 = sr / lag
