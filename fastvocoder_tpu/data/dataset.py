@@ -56,7 +56,16 @@ def load_data_to_buffer(
         log(f"loading buffer from {feature_savepath}")
         with open(feature_savepath, "rb") as f:
             buf = pickle.load(f)
-        if not with_f0 or (buf and "f0" in buf[0]):
+        if not with_f0:
+            if buf and "f0" in buf[0]:
+                # an NHV run shared this cache: drop its f0 entries, or
+                # collate would pack them as a phantom 81st mel channel
+                buf = [
+                    {k: v for k, v in item.items() if k != "f0"}
+                    for item in buf
+                ]
+            return buf
+        if buf and "f0" in buf[0]:
             return buf
         log("cached buffer lacks f0; reloading")
 

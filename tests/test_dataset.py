@@ -135,3 +135,40 @@ def test_buffer_cache_roundtrip(tmp_path, rng):
     assert buf1[0]["mel"].shape == (12, 80)  # transposed to (T, 80)
 
     assert parse_path_file(str(af)) == audio_idx
+
+
+def test_buffer_cache_f0_isolation(tmp_path, rng):
+    """A cache written by an NHV run (f0-bearing items) must not leak f0
+    into a later non-NHV run sharing the same cache path — collate would
+    pack it as a phantom 81st mel channel."""
+    d = tmp_path / "feat"
+    d.mkdir()
+    audio_idx, mel_idx = [], []
+    for i in range(2):
+        wav = rng.standard_normal((12 * HOP,)).astype(np.float32)
+        mel = rng.standard_normal((80, 12)).astype(np.float32)
+        f0 = np.abs(rng.standard_normal((12,))).astype(np.float32)
+        wp, mp = d / f"u{i}.wav.npy", d / f"u{i}.wav.mel.npy"
+        np.save(wp, wav)
+        np.save(mp, mel)
+        np.save(d / f"u{i}.wav.f0.npy", f0)
+        audio_idx.append(str(wp))
+        mel_idx.append(str(mp))
+    af, mf = tmp_path / "audio.txt", tmp_path / "mel.txt"
+    af.write_text("\n".join(audio_idx) + "\n")
+    mf.write_text("\n".join(mel_idx) + "\n")
+
+    cache = str(tmp_path / "features.bin")
+    buf_f0 = load_data_to_buffer(
+        str(af), str(mf), feature_savepath=cache, with_f0=True
+    )
+    assert "f0" in buf_f0[0]
+    buf_plain = load_data_to_buffer(str(af), str(mf), feature_savepath=cache)
+    assert all("f0" not in item for item in buf_plain)
+    # and the reverse direction still upgrades a plain cache
+    os.remove(cache)
+    load_data_to_buffer(str(af), str(mf), feature_savepath=cache)
+    buf_up = load_data_to_buffer(
+        str(af), str(mf), feature_savepath=cache, with_f0=True
+    )
+    assert "f0" in buf_up[0]
