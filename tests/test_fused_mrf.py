@@ -110,6 +110,36 @@ def test_hifigan_generator_fused_path_parity(monkeypatch, rng):
     assert np.sqrt(((got - ref) ** 2).mean()) < 5e-5
 
 
+def test_hifigan_large_generator_fused_path_parity(monkeypatch, rng):
+    """End-to-end hifigan-large: fused graph == standard graph.  Exercises
+    every fused width in one model — C=256 (per-branch split calls), C=128
+    (sparse-tap s=1), C=64 (s=2 blocked), C=32 — plus the fused tail."""
+    import os
+
+    from fastvocoder_tpu.hparams import load_model_config
+    from fastvocoder_tpu.models.factory import build_generator
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    cfg = load_model_config(
+        "hifigan", os.path.join(root, "conf", "hifigan", "large.yaml")
+    )
+    gen = build_generator(cfg, weight_norm=False)
+    r = np.random.default_rng(1)
+    mel = np.clip(
+        0.5 + 0.25 * r.standard_normal((2, 12, 80)), 0, 1
+    ).astype(np.float32)
+    params = jax.jit(gen.init)(jax.random.PRNGKey(0), mel[:1, :4])["params"]
+
+    monkeypatch.setenv("FASTVOCODER_FUSED_MRF", "0")
+    monkeypatch.setenv("FASTVOCODER_FUSED_TAIL", "0")
+    ref = np.asarray(gen.apply({"params": params}, mel))
+    monkeypatch.setenv("FASTVOCODER_FUSED_MRF", "interpret")
+    monkeypatch.setenv("FASTVOCODER_FUSED_TAIL", "interpret")
+    got = np.asarray(gen.apply({"params": params}, mel))
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+    assert np.sqrt(((got - ref) ** 2).mean()) < 5e-5
+
+
 def test_fused_mrf_gate_training_form(monkeypatch):
     """weight_norm=True (training graph) routes to the kernel ONLY under
     FASTVOCODER_FUSED_TRAIN (the interior op's custom-VJP backward); the
