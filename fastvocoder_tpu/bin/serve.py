@@ -63,6 +63,7 @@ def run_serve(argv=None, block: bool = True):
         port=args.port,
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
+        validate=model.validate,
     )
     port = httpd.server_address[1]  # resolves --port 0
     print(

@@ -72,9 +72,13 @@ def reconstruction_loss(
     total = sc + mag
     weight_loss = None
     if est_weight is not None and weight is not None:
-        # targets may arrive f16 (halved host->device bytes); accumulate f32
+        # targets may arrive f16 (halved host->device bytes) and est_weight
+        # bf16 under mixed precision; promote BOTH so the ~1M-element L1
+        # accumulates in f32
         weight_loss = jnp.mean(
-            jnp.abs(est_weight - weight.astype(est_weight.dtype))
+            jnp.abs(
+                est_weight.astype(jnp.float32) - weight.astype(jnp.float32)
+            )
         )
     return total, weight_loss
 

@@ -85,18 +85,26 @@ class BatchedSynthesizer:
         """Pre-compile every program __call__ can dispatch for utterances
         up to the given bucket lengths (first-compile on TPU is tens of
         seconds — do it before the first request, not during).  Returns
-        the number of (bucket, group-size) programs warmed."""
-        sizes = {self._group_size(self.max_batch)}
-        if self.batch_pad == "pow2":
-            p = 1
-            while p < self.max_batch:
-                sizes.add(self._group_size(p))
-                p *= 2
+        the number of (bucket, group-size) programs warmed.  batch_pad
+        "pow2" warms log2(max_batch)+1 sizes per bucket; "exact" must warm
+        every group size 1..max_batch (modulo device rounding) — that cost
+        is why live serving defaults to "pow2"."""
+        # dedupe RAW request counts by the padded row count __call__ would
+        # dispatch (group-size padding + device rounding), then warm through
+        # __call__ itself so the compiled shapes match dispatch exactly
+        seen, raw_counts = set(), []
+        for k in range(1, self.max_batch + 1):
+            rows = self._group_size(k)
+            if self.n_dev > 1:
+                rows += (-rows) % self.n_dev
+            if rows not in seen:
+                seen.add(rows)
+                raw_counts.append(k)
         n = 0
         for T in bucket_lengths:
             Tb = bucket_length(T, self.bucket_frames)
-            for s in sorted(sizes):
-                self([np.zeros((Tb, feature_dim), np.float32)] * s)
+            for k in raw_counts:
+                self([np.zeros((Tb, feature_dim), np.float32)] * k)
                 n += 1
         return n
 

@@ -31,6 +31,18 @@ import numpy as np
 DEFAULT_HALO = 32
 
 
+def check_pattern_covers(pattern: Optional[np.ndarray], n_samples: int):
+    """Published zero-mel bias must cover the utterance.  One place for the
+    check — the streamer and the serving layer share the semantics
+    (reference bin/test.py:85-88; 300 s publish, bin/publish.py:69)."""
+    if pattern is not None and pattern.shape[0] < n_samples:
+        raise ValueError(
+            f"pattern covers {pattern.shape[0]} samples but the utterance "
+            f"needs {n_samples}; publish with a longer zero-mel "
+            "(reference supports 300 s, bin/publish.py:69)"
+        )
+
+
 class StreamingSynthesizer:
     """Wraps a jitted mel->wav function with fixed-chunk streaming.
 
@@ -103,12 +115,7 @@ class StreamingSynthesizer:
         regardless of T."""
         T = mel.shape[0]
         h, c = self.halo, self.chunk
-        if self.pattern is not None and self.pattern.shape[0] < T * self.spf:
-            raise ValueError(
-                f"pattern covers {self.pattern.shape[0]} samples but the "
-                f"utterance needs {T * self.spf}; publish with a longer "
-                "zero-mel (reference supports 300 s, bin/publish.py:69)"
-            )
+        check_pattern_covers(self.pattern, T * self.spf)
         out = np.zeros((T * self.spf,), dtype=np.float32)
         start = 0
         while start < T:

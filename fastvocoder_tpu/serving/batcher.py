@@ -57,25 +57,32 @@ class DynamicBatcher:
         self._batch_sizes: "collections.deque" = collections.deque(maxlen=1024)
         self._q: "queue.Queue" = queue.Queue(maxsize=max_pending)
         self._closed = False
+        # guards the closed-check-then-enqueue pair (a submit racing close
+        # could otherwise land a Future behind the sentinel that nothing
+        # ever resolves) and the stats deques (iterating while the worker
+        # appends raises "deque mutated during iteration")
+        self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def submit(self, mel: np.ndarray) -> "Future[np.ndarray]":
-        if self._closed:
-            raise RuntimeError("DynamicBatcher is closed")
         fut: "Future[np.ndarray]" = Future()
-        try:
-            self._q.put_nowait((mel, fut, time.monotonic()))
-        except queue.Full:
-            raise QueueFull(
-                f"{self._q.maxsize} requests already pending"
-            ) from None
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("DynamicBatcher is closed")
+            try:
+                self._q.put_nowait((mel, fut, time.monotonic()))
+            except queue.Full:
+                raise QueueFull(
+                    f"{self._q.maxsize} requests already pending"
+                ) from None
         return fut
 
     def stats(self) -> dict:
         """Rolling (last 1024 requests) service statistics."""
-        lat = sorted(self._latencies)
-        bs = list(self._batch_sizes)
+        with self._lock:
+            lat = sorted(self._latencies)
+            bs = list(self._batch_sizes)
 
         def pct(p):
             return lat[min(len(lat) - 1, int(p * len(lat)))] if lat else None
@@ -96,8 +103,10 @@ class DynamicBatcher:
     def close(self):
         """Stop accepting requests; the worker finishes everything already
         submitted, then exits."""
-        if not self._closed:
+        with self._lock:
+            already = self._closed
             self._closed = True
+        if not already:
             self._q.put(_CLOSE)  # blocking put: the cap never drops it
         self._thread.join()
 
@@ -143,12 +152,13 @@ class DynamicBatcher:
         try:
             wavs = self.synthesize(mels)
             done = time.monotonic()
-            for (_, fut, t0), wav in zip(batch, wavs):
-                fut.set_result(wav)
-                self._latencies.append((done - t0) * 1e3)
-            self._batch_sizes.append(len(batch))
-            self.requests_served += len(batch)
-            self.batches_run += 1
+            with self._lock:
+                for (_, fut, t0), wav in zip(batch, wavs):
+                    fut.set_result(wav)
+                    self._latencies.append((done - t0) * 1e3)
+                self._batch_sizes.append(len(batch))
+                self.requests_served += len(batch)
+                self.batches_run += 1
         except Exception as e:  # deliver to every waiter, keep serving
             for _, fut, _ in batch:
                 fut.set_exception(e)

@@ -17,6 +17,7 @@ import numpy as np
 from fastvocoder_tpu.hparams import HP, Hparams, load_model_config
 from fastvocoder_tpu.models.batched import BatchedSynthesizer
 from fastvocoder_tpu.models.factory import build_generator
+from fastvocoder_tpu.models.streaming import check_pattern_covers
 from fastvocoder_tpu.train.checkpoint import fuse_weight_norm, load_checkpoint
 
 
@@ -88,16 +89,23 @@ class ServingModel:
         lengths = list(range(b, max_frames + b, b))
         return self.batched.warmup(lengths, feature_dim=self.input_channels)
 
+    def validate(self, mel: np.ndarray) -> None:
+        """Raise ValueError if `mel` cannot be served.  The HTTP frontend
+        calls this per request BEFORE coalescing, so one bad request gets
+        its own 400 instead of poisoning every Future in its batch."""
+        if mel.ndim != 2 or mel.shape[1] != self.input_channels:
+            raise ValueError(
+                f"expected (T, {self.input_channels}) mel, got {list(mel.shape)}"
+            )
+        if mel.shape[0] < 1:
+            raise ValueError("empty mel (T=0)")
+        check_pattern_covers(self.pattern, mel.shape[0] * self.hp.hop_size)
+
     def __call__(self, mels: Sequence[np.ndarray]) -> List[np.ndarray]:
         wavs = self.batched(mels)
         if self.pattern is not None:
             for i, w in enumerate(wavs):
                 n = w.shape[0]
-                if self.pattern.shape[0] < n:
-                    raise ValueError(
-                        f"pattern covers {self.pattern.shape[0]} samples but "
-                        f"the utterance needs {n}; publish with a longer "
-                        "zero-mel (reference supports 300 s, bin/publish.py:69)"
-                    )
+                check_pattern_covers(self.pattern, n)
                 wavs[i] = w - self.pattern[:n]
         return wavs

@@ -28,7 +28,8 @@ MAX_BODY = 256 * 1024 * 1024  # npy mels are small; reject absurd payloads
 
 
 def _handler_class(
-    batcher: DynamicBatcher, input_channels: int, model_name: str
+    batcher: DynamicBatcher, input_channels: int, model_name: str,
+    validate=None,
 ):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -67,14 +68,22 @@ def _handler_class(
                 mel = np.load(io.BytesIO(body), allow_pickle=False)
             except Exception as e:
                 return self._reply_json(400, {"error": f"not a .npy mel: {e}"})
-            if mel.ndim != 2 or mel.shape[1] != input_channels:
+            if mel.ndim != 2 or mel.shape[1] != input_channels or mel.shape[0] < 1:
                 return self._reply_json(
                     400,
                     {
-                        "error": f"expected (T, {input_channels}) mel, "
+                        "error": f"expected (T >= 1, {input_channels}) mel, "
                         f"got {list(mel.shape)}"
                     },
                 )
+            if validate is not None:
+                try:
+                    # per-request checks (e.g. basis pattern coverage)
+                    # BEFORE coalescing: one bad request must not poison
+                    # every Future batched with it
+                    validate(mel)
+                except ValueError as e:
+                    return self._reply_json(400, {"error": str(e)})
             try:
                 wav = batcher.submit(mel.astype(np.float32)).result()
             except QueueFull as e:  # backpressure: shed load, retry later
@@ -97,10 +106,13 @@ def make_server(
     max_batch: int = 32,
     max_wait_ms: float = 5.0,
     max_pending: int = 1024,
+    validate=None,
 ):
     """-> (ThreadingHTTPServer, DynamicBatcher).  `synthesize` is any
     list[mel]->list[wav] callable (ServingModel, BatchedSynthesizer, or a
-    test stub).  Caller owns serve_forever/shutdown and batcher.close()."""
+    test stub).  `validate(mel)` (e.g. ServingModel.validate) runs per
+    request before coalescing; its ValueError maps to HTTP 400.  Caller
+    owns serve_forever/shutdown and batcher.close()."""
     batcher = DynamicBatcher(
         synthesize,
         max_batch=max_batch,
@@ -108,7 +120,8 @@ def make_server(
         max_pending=max_pending,
     )
     httpd = ThreadingHTTPServer(
-        (host, port), _handler_class(batcher, input_channels, model_name)
+        (host, port),
+        _handler_class(batcher, input_channels, model_name, validate=validate),
     )
     return httpd, batcher
 

@@ -145,3 +145,18 @@ def test_warmup_precompiles_all_serving_programs(rng):
     assert shapes == warmed, f"unwarmed shapes dispatched: {shapes - warmed}"
     for m, o in zip(mels, outs):
         assert o.shape == (m.shape[0] * 240,)
+
+    # exact mode dispatches every raw group size — warmup must cover them
+    # all, not just max_batch
+    shapes.clear()
+    bs_exact = BatchedSynthesizer(
+        fwd, params, samples_per_frame=240, bucket_frames=32, max_batch=4,
+        batch_pad="exact",
+    )
+    n = bs_exact.warmup([32, 64], feature_dim=80)
+    assert n == 8  # 2 buckets x sizes {1, 2, 3, 4}
+    warmed = set(shapes)
+    outs = bs_exact(mels)  # group sizes 4 and 3 across the two buckets
+    assert shapes == warmed, f"unwarmed shapes dispatched: {shapes - warmed}"
+    for m, o in zip(mels, outs):
+        assert o.shape == (m.shape[0] * 240,)

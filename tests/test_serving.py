@@ -119,7 +119,11 @@ def test_http_server_round_trip_and_validation():
         status, body = _post(
             base + "/synthesize", _npy_bytes(np.zeros((2, 3), np.float32))
         )
-        assert status == 400 and b"expected (T, 80)" in body
+        assert status == 400 and b"expected (T >= 1, 80)" in body
+        status, body = _post(
+            base + "/synthesize", _npy_bytes(np.zeros((0, 80), np.float32))
+        )
+        assert status == 400  # empty mel rejected before coalescing
 
         # health endpoint reports counters
         with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
@@ -230,6 +234,53 @@ def test_serve_driver_end_to_end(tmp_path, rng):
         assert status == 200
         wav = np.load(io.BytesIO(body))
         assert wav.shape == (12 * 240,) and np.isfinite(wav).all()
+    finally:
+        httpd.shutdown()
+        batcher.close()
+
+
+def test_per_request_validate_isolates_bad_request():
+    """A request failing validate() gets its own 400 BEFORE coalescing;
+    concurrent good requests in the same batching window still get 200."""
+    import threading as th
+
+    def synth(mels):
+        return [np.repeat(m[:, 0], 2).astype(np.float32) for m in mels]
+
+    def validate(mel):
+        if float(mel[0, 0]) < 0:
+            raise ValueError("pattern covers too few samples (stub)")
+
+    httpd, batcher = make_server(
+        synth, input_channels=80, model_name="stub", port=0,
+        max_wait_ms=50.0, validate=validate,
+    )
+    port = httpd.server_address[1]
+    run_server(httpd, batcher)
+    base = f"http://127.0.0.1:{port}"
+    results = {}
+
+    def hit(i, val):
+        m = np.full((3, 80), val, np.float32)
+        s, b = _post(base + "/synthesize", _npy_bytes(m))
+        results[i] = (s, b)
+
+    try:
+        threads = [
+            th.Thread(target=hit, args=(i, -1.0 if i == 2 else float(i)))
+            for i in range(5)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results[2][0] == 400 and b"pattern covers" in results[2][1]
+        for i in (0, 1, 3, 4):
+            s, b = results[i]
+            assert s == 200
+            np.testing.assert_array_equal(
+                np.load(io.BytesIO(b)), np.full((6,), float(i))
+            )
     finally:
         httpd.shutdown()
         batcher.close()
