@@ -112,6 +112,40 @@ def test_batch_pad_pow2_matches_exact(rng):
         np.testing.assert_allclose(e, p2, atol=1e-6)
 
 
+def test_mesh_sharded_serving_composes_with_fused_kernels(monkeypatch, rng):
+    """BatchedSynthesizer(mesh=...) with the fused MRF/tail Pallas kernels
+    engaged must equal the single-device path — the batch dim is the
+    leading pallas grid dim, so XLA partitions the fused programs across
+    the mesh without replication tricks."""
+    from fastvocoder_tpu.hparams import HiFiGANConfig, ModelConfig
+    from fastvocoder_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("FASTVOCODER_FUSED_MRF", "interpret")
+    monkeypatch.setenv("FASTVOCODER_FUSED_TAIL", "interpret")
+    cfg = ModelConfig(
+        model_name="hifigan",
+        arch=HiFiGANConfig(upsample_initial_channel=64),
+    )
+    gen = build_generator(cfg, weight_norm=False)
+    params = jax.jit(gen.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 4, 80), np.float32)
+    )["params"]
+    mels = [
+        np.clip(0.5 + 0.25 * rng.standard_normal((8, 80)), 0, 1).astype(
+            np.float32
+        )
+        for _ in range(8)
+    ]
+    fwd = lambda p, m: gen.apply({"params": p}, m)
+    kw = dict(samples_per_frame=240, bucket_frames=8, max_batch=8)
+    got = BatchedSynthesizer(
+        fwd, params, mesh=make_mesh(jax.devices()), **kw
+    )(mels)
+    want = BatchedSynthesizer(fwd, params, **kw)(mels)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-5)
+
+
 def test_warmup_precompiles_all_serving_programs(rng):
     """After warmup, serving any mix under the warmed max length dispatches
     only shapes the warmup already ran."""
