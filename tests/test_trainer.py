@@ -143,6 +143,43 @@ def test_data_parallel_step_on_mesh(rng):
     )
 
 
+def test_data_parallel_step_with_fused_train_kernels(monkeypatch, rng):
+    """8-way DP composes with the fused-train Pallas custom-VJP path: the
+    sharded step equals the single-device step with the same kernels on
+    (the batch dim is the leading pallas grid dim in the forward AND the
+    backward, so XLA partitions both without replication)."""
+    from fastvocoder_tpu.hparams import HiFiGANConfig
+
+    monkeypatch.setenv("FASTVOCODER_FUSED_TRAIN", "interpret")
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    hp = HP.replace(fixed_length=8)
+    cfg = ModelConfig(
+        model_name="hifigan",
+        arch=HiFiGANConfig(upsample_initial_channel=64),
+        lambda_stft=1.0,
+    )
+    trainer = make_trainer(cfg, hp=hp, disc_cfg=TINY_DISC)
+    mel, wav = make_batch(rng, B=8, fixed=8)
+
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = replicate_state(state, mesh)
+    batch = shard_batch({"mel": mel, "wav": wav}, mesh)
+    step = compile_train_step_no_weight(trainer.pre_adv_step, mesh)
+    state, metrics = step(state, batch["mel"], batch["wav"])
+
+    state1 = trainer.init_state(jax.random.PRNGKey(0))
+    state1, m1 = jax.jit(trainer.pre_adv_step)(state1, mel, wav)
+    np.testing.assert_allclose(
+        float(m1["stft_loss"]), float(metrics["stft_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(state1.gen_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.gen_params)[0]),
+        atol=1e-6,
+    )
+
+
 def test_bf16_mixed_precision_step(rng):
     """compute_dtype=bfloat16: f32 master params, bf16 conv compute, finite
     f32 losses (the reference's amp-O1 analog)."""
