@@ -228,6 +228,41 @@ def test_fused_mrf_grad_parity(C, s, rng):
                 )
 
 
+def test_hifigan_fused_train_step_bf16(monkeypatch):
+    """Fused training composes with mixed precision: bf16 compute through
+    the custom-VJP kernels (f32 recompute/accumulate inside) tracks the
+    standard bf16 path."""
+    from fastvocoder_tpu.hparams import (
+        HP, HiFiGANConfig, ModelConfig, TINY_DISC,
+    )
+    from fastvocoder_tpu.train.trainer import make_trainer
+
+    hp = HP.replace(fixed_length=8)
+    cfg = ModelConfig(
+        model_name="hifigan",
+        arch=HiFiGANConfig(upsample_initial_channel=128),
+        lambda_stft=1.0,
+    )
+    r = np.random.default_rng(1)
+    mel = r.standard_normal((2, 8, 80)).astype(np.float32)
+    t = np.arange(8 * 240, dtype=np.float32)
+    wav = np.stack(
+        [0.3 * np.sin(2 * np.pi * 220 * (i + 1) * t / 24000) for i in range(2)]
+    ).astype(np.float32)
+
+    losses = {}
+    for mode in ("0", "interpret"):
+        monkeypatch.setenv("FASTVOCODER_FUSED_TRAIN", mode)
+        tr = make_trainer(
+            cfg, hp=hp, disc_cfg=TINY_DISC, compute_dtype=jnp.bfloat16
+        )
+        st = tr.init_state(jax.random.PRNGKey(0))
+        st, m = jax.jit(tr.pre_adv_step)(st, mel, wav)
+        losses[mode] = float(m["stft_loss"])
+        assert np.isfinite(losses[mode])
+    np.testing.assert_allclose(losses["interpret"], losses["0"], rtol=5e-3)
+
+
 def test_hifigan_fused_train_step_matches_standard(monkeypatch):
     """FASTVOCODER_FUSED_TRAIN routes hifigan's weight-norm training graph
     through the fused MRF stages; one pre_adv_step from identical init must
