@@ -210,6 +210,46 @@ def bench_batched(fwd, params, mels: np.ndarray, repeats: int = 10) -> float:
     return repeats * duration / best
 
 
+def _bench_model(model_name, conf, key, baseline, root, mels, extras):
+    fwd, params, prep = build(model_name, os.path.join(root, conf))
+    rtf = bench_rtf(fwd, params, prep(mels))
+    vs = round(baseline / rtf, 2) if baseline else None
+    extras[key] = {"rtf": round(rtf, 6), "vs_baseline": vs}
+    print(f"{key}: rtf={rtf:.6f} vs_baseline={vs}", file=sys.stderr)
+    if key in ("basis_melgan_rtf", "hifigan_light_rtf"):
+        # chip-latency variant: the whole protocol as one program
+        rtf_dev = bench_rtf_on_device(fwd, params, prep(mels))
+        extras[key]["rtf_on_device"] = round(rtf_dev, 6)
+        print(f"{key}_on_device: rtf={rtf_dev:.6f}", file=sys.stderr)
+    if key == "basis_melgan_rtf":
+        # batched serving throughput on the flagship (north star >100x)
+        xrt = bench_batched(fwd, params, mels)
+        extras["basis_melgan_batched_xrealtime"] = round(xrt, 1)
+        print(f"basis_melgan_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
+    if key == "hifigan_large_rtf":
+        # the C=256/128 MRF fusions land here — keep the number visible
+        xrt = bench_batched(fwd, params, mels)
+        extras["hifigan_large_batched_xrealtime"] = round(xrt, 1)
+        print(f"hifigan_large_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
+    if key == "hifigan_light_rtf":
+        xrt = bench_batched(fwd, params, mels)
+        extras["hifigan_light_batched_xrealtime"] = round(xrt, 1)
+        print(f"hifigan_light_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
+        # bf16 serving variant (compute_dtype=bfloat16, f32 params)
+        import jax.numpy as jnp
+
+        fwd16, params16, _ = build(
+            model_name, os.path.join(root, conf),
+            compute_dtype=jnp.bfloat16,
+        )
+        xrt16 = bench_batched(fwd16, params16, mels)
+        extras["hifigan_light_batched_xrealtime_bf16"] = round(xrt16, 1)
+        print(
+            f"hifigan_light_batched_xrealtime_bf16: {xrt16:.1f}",
+            file=sys.stderr,
+        )
+
+
 def main():
     import fastvocoder_tpu
 
@@ -221,45 +261,20 @@ def main():
     extras = {}
     headline = None
     for model_name, conf, key, baseline in MODELS:
-        fwd, params, prep = build(model_name, os.path.join(root, conf))
-        rtf = bench_rtf(fwd, params, prep(mels))
-        vs = round(baseline / rtf, 2) if baseline else None
-        extras[key] = {"rtf": round(rtf, 6), "vs_baseline": vs}
-        print(f"{key}: rtf={rtf:.6f} vs_baseline={vs}", file=sys.stderr)
-        if key in ("basis_melgan_rtf", "hifigan_light_rtf"):
-            # chip-latency variant: the whole protocol as one program
-            rtf_dev = bench_rtf_on_device(fwd, params, prep(mels))
-            extras[key]["rtf_on_device"] = round(rtf_dev, 6)
-            print(f"{key}_on_device: rtf={rtf_dev:.6f}", file=sys.stderr)
-        if key == "basis_melgan_rtf":
-            headline = (rtf, baseline)
-            # batched serving throughput on the flagship (north star >100x)
-            xrt = bench_batched(fwd, params, mels)
-            extras["basis_melgan_batched_xrealtime"] = round(xrt, 1)
-            print(f"basis_melgan_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
-        if key == "hifigan_large_rtf":
-            # the C=256/128 MRF fusions land here — keep the number visible
-            xrt = bench_batched(fwd, params, mels)
-            extras["hifigan_large_batched_xrealtime"] = round(xrt, 1)
-            print(f"hifigan_large_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
-        if key == "hifigan_light_rtf":
-            xrt = bench_batched(fwd, params, mels)
-            extras["hifigan_light_batched_xrealtime"] = round(xrt, 1)
-            print(f"hifigan_light_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
-            # bf16 serving variant (compute_dtype=bfloat16, f32 params)
-            import jax.numpy as jnp
-
-            fwd16, params16, _ = build(
-                model_name, os.path.join(root, conf),
-                compute_dtype=jnp.bfloat16,
-            )
-            xrt16 = bench_batched(fwd16, params16, mels)
-            extras["hifigan_light_batched_xrealtime_bf16"] = round(xrt16, 1)
-            print(
-                f"hifigan_light_batched_xrealtime_bf16: {xrt16:.1f}",
-                file=sys.stderr,
-            )
-
+        try:
+            _bench_model(model_name, conf, key, baseline, root, mels, extras)
+        except Exception as e:  # noqa: BLE001
+            # a flapping tunnel mid-run must not erase the rows already
+            # measured; the headline (basis-melgan, first in MODELS) still
+            # re-raises below if it never landed
+            extras[key] = {"error": str(e)[:200]}
+            print(f"{key}: FAILED ({e})", file=sys.stderr)
+        if key == "basis_melgan_rtf" and "rtf" in extras.get(key, {}):
+            headline = (extras[key]["rtf"], baseline)
+    if headline is None:
+        raise RuntimeError(
+            f"headline model failed: {extras.get('basis_melgan_rtf')}"
+        )
     rtf, baseline = headline
     print(
         json.dumps(
