@@ -83,6 +83,15 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
         return False
     if ch not in (16, 32, 64, 128, 256) or not isinstance(T, int):
         return False
+    if ch == 256 and mode == "auto":
+        # measured on v5e (tools/sweep_fused_widths.py, batch 32 x 585
+        # frames): the per-branch C=256 form LOSES ~5.6 ms whole-model on
+        # hifigan-large (220.0 vs 214.5 ms un-fused) — 3 reads of x per
+        # stage erase the fusion margin at 2-register row width.  C=128 is
+        # neutral on time but ~35x closer to CPU-f32 than XLA's reduced-
+        # precision conv lowering, so it stays.  Force with
+        # FASTVOCODER_FUSED_MRF=1 to run C=256 fused anyway.
+        return False
     if ch >= 32 and batch == 1 and mode == "auto":
         return False
     if mode == "auto" and jax.default_backend() != "tpu":

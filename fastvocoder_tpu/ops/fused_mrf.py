@@ -471,13 +471,13 @@ def _mrf_interior_fwd(xb, flat, meta, Qt, H, Q_real, interpret):
 
 
 # Combined VMEM budget for weight refs + f32 dW output refs in one backward
-# call.  C<=32 stages fit whole (C=32: ~12 MB, measured working on v5e);
-# C=64's s=2 block-Toeplitz weights alone are ~9.4 MB (C=128's sparse-tap
-# weights ~8.2 MB), so W + dW = ~16-19 MB exceeds the 16 MB scoped limit —
-# those stages run the backward one parallel branch at a time (each branch
-# is independent given x and the cotangent, so the split is exact; dx sums
-# across calls in XLA).
-_BWD_WEIGHT_BUDGET = 14 * 2**20
+# call.  C=16 fits whole (2x wbytes = 8.7 MB); C=32's 12.1 MB of W + dW
+# plus the pipelined tile buffers measures 16.07 MB on v5e — 68 KB OVER the
+# 16 MB scoped limit (compile failure), so it splits per branch like
+# C=64/128 (each branch is independent given x and the cotangent, so the
+# split is exact; dx sums across calls in XLA, ~2 extra reads of x per
+# stage ≈ 0.5 ms at the 287 GB/s floor).
+_BWD_WEIGHT_BUDGET = 11 * 2**20
 
 # Forward weight-ref budget per Pallas call: C<=128 stages (<= ~9.4 MB of
 # effective kernels, measured working with 512-row tiles on v5e) run whole;
@@ -488,7 +488,18 @@ _FWD_WEIGHT_BUDGET = 12 * 2**20
 def _mrf_interior_bwd(meta, Qt, H, Q_real, interpret, res, g):
     xb, flat = res
     wbytes = sum(int(np.prod(w.shape)) for w in flat) * 4  # f32 W
-    if 2 * wbytes <= _BWD_WEIGHT_BUDGET:
+    # s == 1 stages (any dj > 1: sparse-tap weights) always split per
+    # branch: their weight bytes pass the budget check (C=128's sparse taps
+    # are ~5.6 MB vs the dense form's ~15 MB) but their lane-full f32
+    # recompute intermediates do not — measured on v5e, the whole-stage
+    # C=128 backward exceeds the 16 MB scoped-VMEM limit by ~68 KB and
+    # fails to compile (interpreter-mode tests can't see VMEM limits).
+    sparse_taps = any(
+        p[2] > 1 or p[5] > 1 for pairs in meta for p in pairs
+    )
+    if 2 * wbytes <= _BWD_WEIGHT_BUDGET and not (
+        sparse_taps and len(meta) > 1
+    ):
         return _run_mrf_bwd(xb, flat, g, meta, Qt, H, Q_real, interpret)
     dx = None
     dflat = []
