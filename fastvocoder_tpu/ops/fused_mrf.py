@@ -489,14 +489,15 @@ def _mrf_interior_bwd(meta, Qt, H, Q_real, interpret, res, g):
     xb, flat = res
     wbytes = sum(int(np.prod(w.shape)) for w in flat) * 4  # f32 W
     # s == 1 stages (any dj > 1: sparse-tap weights) always split per
-    # branch: their weight bytes pass the budget check (C=128's sparse taps
-    # are ~5.6 MB vs the dense form's ~15 MB) but their lane-full f32
-    # recompute intermediates do not — measured on v5e, the whole-stage
-    # C=128 backward exceeds the 16 MB scoped-VMEM limit by ~68 KB and
-    # fails to compile (interpreter-mode tests can't see VMEM limits).
-    sparse_taps = any(
-        p[2] > 1 or p[5] > 1 for pairs in meta for p in pairs
-    )
+    # branch.  For the shipped k=(3,7,11) x d=(1,3,5) config at C=128 the
+    # sparse-tap weights are ~8.3 MB (126 taps x 128x128x4B), so 2*wbytes
+    # (~16.5 MB) already fails the budget check and this clause is
+    # future-proofing for narrower sparse configs whose weights WOULD fit:
+    # their lane-full f32 recompute intermediates still don't — measured on
+    # v5e, the whole-stage C=128 backward exceeds the 16 MB scoped-VMEM
+    # limit by ~68 KB and fails to compile (interpreter-mode tests can't
+    # see VMEM limits).
+    sparse_taps = any(p[2] > 1 for pairs in meta for p in pairs)
     if 2 * wbytes <= _BWD_WEIGHT_BUDGET and not (
         sparse_taps and len(meta) > 1
     ):

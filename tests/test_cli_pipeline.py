@@ -40,6 +40,7 @@ def workspace(tmp_path, monkeypatch):
     return tmp_path, str(index)
 
 
+@pytest.mark.slow
 def test_full_cli_pipeline(workspace, monkeypatch):
     tmp_path, index = workspace
 

@@ -163,8 +163,17 @@ def test_fused_mrf_gate_training_form(monkeypatch):
     assert not _use_fused_mrf(cfg, False, 512, 1920)  # too wide: no VMEM fit
     assert not _use_fused_mrf(cfg, False, 16, 1921)   # not divisible by s
     assert not _use_fused_mrf(cfg, False, 64, 1921)   # s=2 needs even T
-    assert not _use_fused_mrf(cfg, False, 64, 1920, batch=1)  # batch gate
-    assert not _use_fused_mrf(cfg, False, 128, 1920, batch=1)
+    # auto policy on TPU (backend faked): batch-1 fuses EVERY width incl.
+    # 256 (round-3 A/B, tools/diag_hifigan_large.py: whole-network fusion
+    # wins 2.3-2.5x at queue depth 1); batch >= 2 serving excludes C=256
+    # (whole-model loss at batch 32, tools/sweep_fused_widths.py)
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _use_fused_mrf(cfg, False, 64, 1920, batch=1)
+    assert _use_fused_mrf(cfg, False, 256, 1920, batch=1)
+    assert _use_fused_mrf(cfg, False, 64, 1920, batch=32)
+    assert not _use_fused_mrf(cfg, False, 256, 1920, batch=32)
 
 
 @pytest.mark.parametrize("C,s", [(16, 8), (32, 4), (64, 2), (128, 1), (256, 1)])

@@ -95,6 +95,7 @@ def _spawn_children(port: int, out: str, init_path: str):
     return procs, outputs
 
 
+@pytest.mark.slow
 def test_two_process_dp_matches_single_process(tmp_path):
     assert len(jax.devices()) == 8
     out = str(tmp_path / "proc0.npz")

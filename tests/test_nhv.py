@@ -140,6 +140,7 @@ def test_nhv_train_step_descends(rng):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_nhv_cli_train_end_to_end(tmp_path, monkeypatch, rng):
     """preprocess --extract_f0 -> bin/train --model_name nhv: the full
     driver path with f0-aware buffer/collate and a tiny NHV."""

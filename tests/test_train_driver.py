@@ -68,6 +68,7 @@ def tiny_dataset(tmp_path):
     return str(a), str(m)
 
 
+@pytest.mark.slow
 def test_train_driver_smoke(tiny_dataset, tmp_path, monkeypatch):
     import fastvocoder_tpu.bin.train as train_mod
     from fastvocoder_tpu.train.trainer import make_trainer
@@ -129,6 +130,7 @@ def test_train_driver_smoke(tiny_dataset, tmp_path, monkeypatch):
     assert all(len(pair) == 2 for pair in scalars["stft_loss"])
 
 
+@pytest.mark.slow
 def test_basis_melgan_driver_smoke_with_fitted_targets(tmp_path, monkeypatch):
     """Train the flagship model end-to-end from audio alone: fit the basis
     and weight targets with tools/make_basis_dataset.py (the in-framework

@@ -3,6 +3,12 @@ valid series + a markdown table for docs/TRAINING.md.
 
 Usage: python tools/summarize_run.py <logger_run_dir> [--tensorboard <dir>]
                                      [--csv_out <path>] [--every 50]
+
+`logger_run_dir` may be a single timestamped `logger/<stamp>` dir OR the
+parent `logger/` dir of a SEGMENTED run (the axon host-RAM leak forces long
+runs into auto-resumed segments, each with its own stamp): segments are
+concatenated in filesystem-mtime order into one continuous step axis, and
+valid scalars are merged across every tensorboard run dir.
 """
 
 from __future__ import annotations
@@ -18,6 +24,25 @@ def load_series(path: str) -> np.ndarray:
         return np.array([float(line) for line in f if line.strip()], np.float64)
 
 
+def run_dirs(root: str) -> list:
+    """[root] if root itself holds loss txts, else its stamped children in
+    mtime order (segmented runs append one child per resume)."""
+    if os.path.exists(os.path.join(root, "stft_loss.txt")):
+        return [root]
+    kids = [
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if os.path.exists(os.path.join(root, d, "stft_loss.txt"))
+    ]
+    if not kids:
+        raise FileNotFoundError(f"no stft_loss.txt under {root}")
+    return sorted(kids, key=os.path.getmtime)
+
+
+def load_series_multi(dirs: list, name: str) -> np.ndarray:
+    return np.concatenate([load_series(os.path.join(d, name)) for d in dirs])
+
+
 def downsample(x: np.ndarray, every: int) -> list:
     """Mean over consecutive windows of `every` steps -> [(step, mean)]."""
     out = []
@@ -28,24 +53,31 @@ def downsample(x: np.ndarray, every: int) -> list:
 
 
 def valid_series(tb_dir: str):
-    """Read valid_stft_loss scalars from the newest tensorboard event file."""
+    """Read valid_stft_loss scalars merged across ALL tensorboard run dirs
+    (segmented runs write one per segment), deduped by step."""
     try:
         from tensorboard.backend.event_processing.event_accumulator import (
             EventAccumulator,
         )
     except Exception:
         return []
+    if not os.path.isdir(tb_dir):
+        return []
     runs = sorted(
         (os.path.join(tb_dir, d) for d in os.listdir(tb_dir)),
         key=os.path.getmtime,
     )
-    if not runs:
-        return []
-    acc = EventAccumulator(runs[-1])
-    acc.Reload()
-    if "valid_stft_loss" not in acc.Tags().get("scalars", []):
-        return []
-    return [(e.step, e.value) for e in acc.Scalars("valid_stft_loss")]
+    merged = {}
+    for run in runs:
+        try:
+            acc = EventAccumulator(run)
+            acc.Reload()
+            if "valid_stft_loss" in acc.Tags().get("scalars", []):
+                for e in acc.Scalars("valid_stft_loss"):
+                    merged[e.step] = e.value
+        except Exception:
+            continue
+    return sorted(merged.items())
 
 
 def main():
@@ -56,8 +88,11 @@ def main():
     p.add_argument("--every", type=int, default=100)
     args = p.parse_args()
 
-    stft = load_series(os.path.join(args.run_dir, "stft_loss.txt"))
-    total = load_series(os.path.join(args.run_dir, "total_loss.txt"))
+    dirs = run_dirs(args.run_dir)
+    if len(dirs) > 1:
+        print(f"concatenating {len(dirs)} segments")
+    stft = load_series_multi(dirs, "stft_loss.txt")
+    total = load_series_multi(dirs, "total_loss.txt")
     ds_stft = downsample(stft, args.every)
     ds_total = downsample(total, args.every)
     valid = valid_series(args.tensorboard)

@@ -64,8 +64,15 @@ def main():
     # forward cannot be hoisted as loop-invariant.
     mel2 = jax.device_put(np.stack([mel, mel + 1e-6]))
 
-    def run(label, widths, tail):
+    def run(label, widths, tail, force=False):
+        # force=True pins FASTVOCODER_FUSED_MRF=1 so per-width rows really
+        # isolate that width's fused kernel: in "auto" the gate itself
+        # excludes C=256 at batch >= 2 (whole-model loss at batch 32),
+        # which would silently benchmark the un-fused path under a fused
+        # label (ADVICE r02).  Combined rows run in "auto" = what users get
+        # (this sweep's mel2 batch is 2; batch-1 auto fuses every width).
         hifigan_mod._use_fused_mrf = gate_widths(widths)
+        os.environ["FASTVOCODER_FUSED_MRF"] = "1" if force else "auto"
         os.environ["FASTVOCODER_FUSED_TAIL"] = "auto" if tail else "0"
 
         def protocol(p, ms):
@@ -92,11 +99,15 @@ def main():
     run("none (XLA)", set(), False)
     run("tail only", set(), True)
     for w in (16, 32, 64, 128, 256):
-        run(f"C={w} only", {w}, False)
+        run(f"C={w} only (forced)", {w}, False, force=True)
     run("C<=64 (no tail)", {16, 32, 64}, False)
     run("C<=64 + tail (round-4)", {16, 32, 64}, True)
-    run("all + tail (default)", {16, 32, 64, 128, 256}, True)
+    # auto mode gates C=256 off (and C>=32 at batch 1) — this row IS the
+    # shipped default, not "everything fused"
+    run("default (C<=128 + tail)", {16, 32, 64, 128, 256}, True)
+    run("force-256 + tail", {16, 32, 64, 128, 256}, True, force=True)
     hifigan_mod._use_fused_mrf = orig_gate
+    os.environ.pop("FASTVOCODER_FUSED_MRF", None)
 
 
 if __name__ == "__main__":
