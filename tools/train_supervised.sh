@@ -1,0 +1,54 @@
+#!/usr/bin/env bash
+# Supervised long-run training: keep a run alive across host-process deaths.
+#
+# Long runs on shared/remote-TPU hosts can lose the training process to
+# host-side failures (e.g. the axon host-RAM leak documented in
+# tools/summarize_run.py forces multi-hour runs into segments).  The trainer
+# already auto-resumes from a checkpoint root (bin/train.py:202-229 picks the
+# newest checkpoint_<step>.pth.tar recursively and restores the step counter
+# from it); this wrapper is the missing supervisor: rerun until the target
+# step count is reached, resuming from the newest checkpoint each segment.
+# Loss/tensorboard logs land in per-segment stamped dirs which
+# tools/summarize_run.py merges into one continuous curve.
+#
+# Usage:
+#   tools/train_supervised.sh <max_steps> <log_file> <bin.train args...>
+# (do NOT pass --max_steps/--checkpoint_path in the args; the supervisor
+# owns both.  CKPT_ROOT overrides the checkpoint root, default ./checkpoint.
+# Touch $STOP_FILE (default /tmp/stop_training) to stop between segments.)
+set -u
+
+MAX_STEPS="$1"; shift
+LOG="$1"; shift
+CKPT_ROOT="${CKPT_ROOT:-checkpoint}"
+STOP_FILE="${STOP_FILE:-/tmp/stop_training}"
+
+latest_step() {
+  find "$CKPT_ROOT" -name 'checkpoint_*.pth.tar' 2>/dev/null \
+    | sed -E 's/.*checkpoint_([0-9]+)\.pth\.tar/\1/' | sort -n | tail -1
+}
+
+while true; do
+  step="$(latest_step)"; step="${step:-0}"
+  if [ "$step" -ge "$MAX_STEPS" ]; then
+    echo "supervisor: reached step $step >= $MAX_STEPS, done" >> "$LOG"
+    break
+  fi
+  if [ -e "$STOP_FILE" ]; then
+    echo "supervisor: $STOP_FILE present, stopping at step $step" >> "$LOG"
+    break
+  fi
+  resume=()
+  [ "$step" -gt 0 ] && resume=(--checkpoint_path "$CKPT_ROOT")
+  echo "supervisor: starting segment from step $step" >> "$LOG"
+  python3 -m fastvocoder_tpu.bin.train "$@" --max_steps "$MAX_STEPS" \
+    "${resume[@]:+${resume[@]}}" >> "$LOG" 2>&1
+  rc=$?
+  step2="$(latest_step)"; step2="${step2:-0}"
+  if [ "$rc" -eq 0 ] && [ "$step2" -ge "$MAX_STEPS" ]; then
+    echo "supervisor: segment finished at step $step2, done" >> "$LOG"
+    break
+  fi
+  echo "supervisor: segment exited rc=$rc at step $step2, restarting" >> "$LOG"
+  sleep 5
+done
