@@ -15,13 +15,17 @@
 #   tools/train_supervised.sh <max_steps> <log_file> <bin.train args...>
 # (do NOT pass --max_steps/--checkpoint_path in the args; the supervisor
 # owns both.  CKPT_ROOT overrides the checkpoint root, default ./checkpoint.
-# Touch $STOP_FILE (default /tmp/stop_training) to stop between segments.)
+# Touch $STOP_FILE (default /tmp/stop_training) to stop between segments.
+# SEGMENT_STEPS bounds each segment's length so the per-step host-RAM leak
+# stays within budget — each segment exits gracefully with a final
+# checkpoint instead of riding the leak into the OOM killer.)
 set -u
 
 MAX_STEPS="$1"; shift
 LOG="$1"; shift
 CKPT_ROOT="${CKPT_ROOT:-checkpoint}"
 STOP_FILE="${STOP_FILE:-/tmp/stop_training}"
+SEGMENT_STEPS="${SEGMENT_STEPS:-$MAX_STEPS}"
 
 latest_step() {
   find "$CKPT_ROOT" -name 'checkpoint_*.pth.tar' 2>/dev/null \
@@ -40,8 +44,10 @@ while true; do
   fi
   resume=()
   [ "$step" -gt 0 ] && resume=(--checkpoint_path "$CKPT_ROOT")
-  echo "supervisor: starting segment from step $step" >> "$LOG"
-  python3 -m fastvocoder_tpu.bin.train "$@" --max_steps "$MAX_STEPS" \
+  seg_target=$((step + SEGMENT_STEPS))
+  [ "$seg_target" -gt "$MAX_STEPS" ] && seg_target="$MAX_STEPS"
+  echo "supervisor: starting segment from step $step (target $seg_target)" >> "$LOG"
+  python3 -m fastvocoder_tpu.bin.train "$@" --max_steps "$seg_target" \
     "${resume[@]:+${resume[@]}}" >> "$LOG" 2>&1
   rc=$?
   step2="$(latest_step)"; step2="${step2:-0}"
