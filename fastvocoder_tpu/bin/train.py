@@ -141,6 +141,17 @@ def run(args):
     )
     if getattr(args, "test_size", 0):
         hp = hp.replace(test_size=args.test_size)
+    run_dir = getattr(args, "run_dir", "") or ""
+    if run_dir:
+        # self-contained run directory: checkpoints, loss logs and
+        # tensorboard all under <run_dir>/ (the reference scatters them
+        # into cwd-relative hp paths, reference hparams.py:61-63 — that
+        # breaks supervised/segmented runs launched from the repo root)
+        hp = hp.replace(
+            checkpoint_path=os.path.join(run_dir, "checkpoint"),
+            logger_path=os.path.join(run_dir, "logger"),
+            tensorboard_path=os.path.join(run_dir, "tensorboard"),
+        )
 
     logger.info(f"Loading Model of {args.model_name}...")
     basis_signal_weight = None
@@ -227,6 +238,12 @@ def run(args):
             restored = True
             if not args.restore_step and ckpt.get("step"):
                 args.restore_step = ckpt["step"]
+            # keep the in-state counter global across segments (it seeds the
+            # per-step NHV noise draw; a reset would replay segment 1's
+            # noise sequence)
+            import jax.numpy as jnp
+
+            state = state.replace(step=jnp.asarray(args.restore_step, jnp.int32))
             logger.info(f"\n---Model Restored at Step {args.restore_step}---\n")
         except Exception as e:  # reference falls back to fresh (train.py:371-373)
             logger.warning(f"checkpoint restore failed ({e}); starting fresh")
@@ -498,6 +515,10 @@ def run_train(argv=None):
     parser.add_argument("--mel_index_valid_path", type=str,
                         default=os.path.join("dataset", "mel", "valid"))
     parser.add_argument("--checkpoint_path", type=str, default="")
+    parser.add_argument("--run_dir", type=str, default="",
+                        help="self-contained run directory: overrides the "
+                             "hp checkpoint/logger/tensorboard roots to "
+                             "<run_dir>/{checkpoint,logger,tensorboard}")
     parser.add_argument("--restore_step", type=int, default=0)
     parser.add_argument("--learning_rate", type=float, default=HP.learning_rate)
     parser.add_argument("--learning_rate_discriminator", type=float,

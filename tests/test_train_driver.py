@@ -131,6 +131,66 @@ def test_train_driver_smoke(tiny_dataset, tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_train_driver_run_dir(tiny_dataset, tmp_path, monkeypatch):
+    """--run_dir makes the run self-contained (checkpoint/logger/tensorboard
+    under <run_dir>/) and a second invocation resumes from
+    <run_dir>/checkpoint — the contract tools/train_supervised.sh relies on
+    for segmented long runs."""
+    import fastvocoder_tpu.bin.train as train_mod
+    from fastvocoder_tpu.train.trainer import make_trainer
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        train_mod, "make_trainer", functools.partial(make_trainer, disc_cfg=TINY_DISC)
+    )
+    conf = tmp_path / "melgan_tiny.yaml"
+    conf.write_text(
+        "in_channels: 80\nout_channels: 1\nkernel_size: 7\n"
+        "channels: [8, 8, 8, 8, 8]\nupsample_scales: [10, 6, 2, 2]\n"
+        "stack_kernel_size: 3\nstacks: 3\nuse_weight_norm: True\n"
+        "use_causal_conv: False\nbias: True\nmultiband: False\n"
+        "lamda_stft: 1.0\nuse_feature_map_loss: True\n"
+    )
+    audio_idx, mel_idx = tiny_dataset
+    run_dir = tmp_path / "runs" / "exp"
+    args = Namespace(
+        audio_index_path=audio_idx, mel_index_path=mel_idx,
+        audio_index_valid_path=audio_idx, mel_index_valid_path=mel_idx,
+        checkpoint_path="", run_dir=str(run_dir), restore_step=0,
+        learning_rate=1e-4, learning_rate_discriminator=5e-5,
+        model_name="melgan", config=str(conf),
+        use_scheduler=0, mixprecision=0,
+        basis_dataset_path="", seed=0,
+        max_steps=2, test_size=0,
+        batch_size=2, batch_expand_size=2, fixed_length=10,
+        save_step=2, valid_step=100, valid_num=2,
+        discriminator_train_start_steps=100000,
+    )
+    state = train_mod.run(args)
+    assert int(np.asarray(state.step)) == 2
+
+    for sub in ("checkpoint", "logger", "tensorboard"):
+        stamps = os.listdir(run_dir / sub)
+        assert len(stamps) == 1, sub
+    # nothing leaked into the cwd-relative hp defaults
+    assert not (tmp_path / "checkpoint").exists()
+    assert not (tmp_path / "logger").exists()
+    stamp = os.listdir(run_dir / "checkpoint")[0]
+    assert "checkpoint_2.pth.tar" in os.listdir(run_dir / "checkpoint" / stamp)
+
+    # segment 2: resume from <run_dir>/checkpoint, continue to step 4
+    args.checkpoint_path = str(run_dir / "checkpoint")
+    args.max_steps = 4
+    state = train_mod.run(args)
+    assert int(np.asarray(state.step)) == 4
+    newest = sorted(
+        os.listdir(run_dir / "checkpoint"),
+        key=lambda d: os.path.getmtime(str(run_dir / "checkpoint" / d)),
+    )[-1]
+    assert "checkpoint_4.pth.tar" in os.listdir(run_dir / "checkpoint" / newest)
+
+
+@pytest.mark.slow
 def test_basis_melgan_driver_smoke_with_fitted_targets(tmp_path, monkeypatch):
     """Train the flagship model end-to-end from audio alone: fit the basis
     and weight targets with tools/make_basis_dataset.py (the in-framework

@@ -12,9 +12,14 @@
 # tools/summarize_run.py merges into one continuous curve.
 #
 # Usage:
-#   tools/train_supervised.sh <max_steps> <log_file> <bin.train args...>
-# (do NOT pass --max_steps/--checkpoint_path in the args; the supervisor
-# owns both.  CKPT_ROOT overrides the checkpoint root, default ./checkpoint.
+#   RUN_DIR=runs/<name> tools/train_supervised.sh <max_steps> <log_file> \
+#       <bin.train args...>
+# (do NOT pass --max_steps/--checkpoint_path/--run_dir in the args; the
+# supervisor owns them.  RUN_DIR makes the run self-contained — checkpoints,
+# loss logs and tensorboard land under $RUN_DIR/ via bin.train --run_dir,
+# and the supervisor resumes from $RUN_DIR/checkpoint.  Without RUN_DIR the
+# trainer writes to the hp-default cwd-relative paths and the supervisor
+# watches ./checkpoint (CKPT_ROOT overrides just the watch root).
 # Touch $STOP_FILE (default /tmp/stop_training) to stop between segments.
 # SEGMENT_STEPS bounds each segment's length so the per-step host-RAM leak
 # stays within budget — each segment exits gracefully with a final
@@ -23,6 +28,12 @@ set -u
 
 MAX_STEPS="$1"; shift
 LOG="$1"; shift
+RUN_DIR="${RUN_DIR:-}"
+run_dir_args=()
+if [ -n "$RUN_DIR" ]; then
+  CKPT_ROOT="${CKPT_ROOT:-$RUN_DIR/checkpoint}"
+  run_dir_args=(--run_dir "$RUN_DIR")
+fi
 CKPT_ROOT="${CKPT_ROOT:-checkpoint}"
 STOP_FILE="${STOP_FILE:-/tmp/stop_training}"
 SEGMENT_STEPS="${SEGMENT_STEPS:-$MAX_STEPS}"
@@ -48,6 +59,7 @@ while true; do
   [ "$seg_target" -gt "$MAX_STEPS" ] && seg_target="$MAX_STEPS"
   echo "supervisor: starting segment from step $step (target $seg_target)" >> "$LOG"
   python3 -m fastvocoder_tpu.bin.train "$@" --max_steps "$seg_target" \
+    "${run_dir_args[@]:+${run_dir_args[@]}}" \
     "${resume[@]:+${resume[@]}}" >> "$LOG" 2>&1
   rc=$?
   step2="$(latest_step)"; step2="${step2:-0}"
