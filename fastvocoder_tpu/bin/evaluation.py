@@ -31,14 +31,28 @@ from fastvocoder_tpu.data.dataset import parse_path_file
 from fastvocoder_tpu.hparams import HP
 
 
-def load_data(audio_index_path, mel_index_path, index_list):
-    """(reference bin/evaluation.py:14-22 semantics, numpy only)"""
+def load_data(audio_index_path, mel_index_path, index_list, with_f0=False):
+    """(reference bin/evaluation.py:14-22 semantics, numpy only).
+
+    with_f0=True (NHV) additionally loads each mel's `<name>.f0.npy`
+    sibling (written by preprocess --extract_f0), falling back to
+    extracting f0 from the ground-truth audio."""
     audio_index = parse_path_file(audio_index_path)
     mel_index = parse_path_file(mel_index_path)
-    audio_list, mel_list = [], []
+    audio_list, mel_list, f0_list = [], [], []
     for index in index_list:
         audio_list.append(np.load(audio_index[index]).astype(np.float32))
         mel_list.append(np.load(mel_index[index]).astype(np.float32))
+        if with_f0:
+            f0_path = mel_index[index].replace(".mel.npy", ".f0.npy")
+            if os.path.exists(f0_path):
+                f0_list.append(np.load(f0_path).astype(np.float32))
+            else:
+                from fastvocoder_tpu.dsp.f0 import extract_f0
+
+                f0_list.append(extract_f0(audio_list[-1]))
+    if with_f0:
+        return audio_list, mel_list, f0_list
     return audio_list, mel_list
 
 
@@ -63,17 +77,18 @@ def mel_cepstral_distortion(
     return float((10.0 * np.sqrt(2.0) / np.log(10.0)) * dist.mean())
 
 
-def evaluate(synthesizer: Synthesizer, audio_list, mel_list, hp=HP):
+def evaluate(synthesizer: Synthesizer, audio_list, mel_list, hp=HP, f0_list=None):
     """Returns a list of per-item metric dicts."""
     import jax
     from fastvocoder_tpu.losses.stft_loss import multi_resolution_stft_loss
 
     mr = jax.jit(multi_resolution_stft_loss)
     results = []
-    for wav, mel in zip(audio_list, mel_list):
+    for i, (wav, mel) in enumerate(zip(audio_list, mel_list)):
         if mel.shape[0] == hp.num_mels:  # (80, T) -> (T, 80)
             mel = mel.T
-        est, est_remove, _ = synthesizer.synthesize(mel)
+        f0 = f0_list[i] if f0_list else None
+        est, est_remove, _ = synthesizer.synthesize(mel, f0=f0)
         n = min(est_remove.shape[0], wav.shape[0])
         est_c, wav_c = est_remove[:n], wav[:n]
         sc, mag = mr(est_c[None], wav_c[None])
@@ -110,10 +125,14 @@ def run_evaluation(argv=None):
         args.checkpoint_path, args.config, args.model_name, HP, bucket_frames=64
     )
     n = min(args.num_items, len(parse_path_file(args.audio_index_path)))
-    audio_list, mel_list = load_data(
-        args.audio_index_path, args.mel_index_path, list(range(n))
+    is_nhv = args.model_name == "nhv"
+    loaded = load_data(
+        args.audio_index_path, args.mel_index_path, list(range(n)),
+        with_f0=is_nhv,
     )
-    results = evaluate(synthesizer, audio_list, mel_list)
+    audio_list, mel_list = loaded[0], loaded[1]
+    f0_list = loaded[2] if is_nhv else None
+    results = evaluate(synthesizer, audio_list, mel_list, f0_list=f0_list)
     summary = {
         k: float(np.mean([r[k] for r in results]))
         for k in (

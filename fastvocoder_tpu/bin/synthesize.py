@@ -109,10 +109,26 @@ class Synthesizer:
     # ---- public surface (reference bin/synthesize.py:74-80) ----
 
     def synthesize(
-        self, mel: np.ndarray
+        self, mel: np.ndarray, f0: np.ndarray = None
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """mel (T, 80) -> (est, est - bias, bias); bias from a zero mel."""
+        """mel (T, 80) -> (est, est - bias, bias); bias from a zero mel.
+
+        NHV conditioning is (T, 81) = mel + f0 (dsp.f0.f0_to_condition);
+        pass `f0` (T,) alongside an 80-channel mel, or the packed 81-channel
+        tensor directly.  The zero-conditioning bias pattern then carries
+        f0 = 0 everywhere (all-unvoiced): the noise-source-only output, the
+        NHV analogue of the other models' zero-mel bias."""
         mel = np.asarray(mel, dtype=np.float32)
+        if self.model_name == "nhv" and mel.shape[1] == self.cfg.arch.in_channels:
+            if f0 is None:
+                raise ValueError(
+                    "nhv conditioning must be mel + f0: pass f0=(T,) with "
+                    "the 80-ch mel, or a packed (T, 81) tensor "
+                    "(dsp.f0.f0_to_condition)"
+                )
+            from fastvocoder_tpu.dsp.f0 import f0_to_condition
+
+            mel = f0_to_condition(mel, np.asarray(f0, np.float32))
         bias = self._run(np.zeros_like(mel))
         est = self._run(mel)
         return est, est - bias, bias
@@ -131,13 +147,21 @@ def run_synthesizer(argv=None):
     parser.add_argument("--model_name", type=str,
                         help="melgan, hifigan, multiband-hifigan, basis-melgan")
     parser.add_argument("--config", type=str, help="path to model configuration file")
+    parser.add_argument("--f0_path", type=str, default="",
+                        help="nhv only: f0 track (T,) .npy; defaults to the "
+                             "preprocess --extract_f0 sibling of --mel_path "
+                             "(<name>.f0.npy next to <name>.mel.npy)")
     args = parser.parse_args(argv)
 
     hp = HP
     synthesizer = Synthesizer(args.checkpoint_path, args.config, args.model_name, hp)
     mel = np.load(args.mel_path)
+    f0 = None
+    if args.model_name == "nhv":
+        f0_path = args.f0_path or args.mel_path.replace(".mel.npy", ".f0.npy")
+        f0 = np.load(f0_path).astype(np.float32)
     gl_wav = audio.inv_mel_spectrogram(mel, hp)  # Griffin-Lim reference output
-    est, est_remove, bias = synthesizer.synthesize(mel.T)
+    est, est_remove, bias = synthesizer.synthesize(mel.T, f0=f0)
     audio.save_wav(est, args.wav_path, hp.sample_rate, rescale_out=hp.rescale_out)
     audio.save_wav(est_remove, args.wav_path[:-3] + "remove.wav", hp.sample_rate,
                    rescale_out=hp.rescale_out)

@@ -232,6 +232,10 @@ def test_nhv_synthesizer_driver(tmp_path, rng):
     with pytest.raises(ValueError, match="mel \\+ f0"):
         s.synthesize(cond[0, :, :80])  # plain mel without the f0 channel
 
+    # 80-ch mel + explicit f0 == the packed tensor (evaluation.py path)
+    est2, _, _ = s.synthesize(cond[0, :, :80], f0=cond[0, :, 80])
+    np.testing.assert_allclose(est2, est, atol=0)
+
 
 def test_extract_f0_glissando_tracks_contour():
     """Sweeping tone (120 -> 400 Hz over 2 s): the tracker must follow the

@@ -69,15 +69,19 @@ def main(argv=None):
     if not ckpts:
         raise FileNotFoundError(f"no checkpoints under {args.checkpoint_root}")
     n = min(args.num_items, len(parse_path_file(args.audio_index_path)))
-    audio_list, mel_list = load_data(
-        args.audio_index_path, args.mel_index_path, list(range(n))
+    is_nhv = args.model_name == "nhv"
+    loaded = load_data(
+        args.audio_index_path, args.mel_index_path, list(range(n)),
+        with_f0=is_nhv,
     )
+    audio_list, mel_list = loaded[0], loaded[1]
+    f0_list = loaded[2] if is_nhv else None
 
     rows = []
     for step, path in ckpts:
         synth = Synthesizer(path, args.config, args.model_name, HP,
                             bucket_frames=64)
-        results = evaluate(synth, audio_list, mel_list)
+        results = evaluate(synth, audio_list, mel_list, f0_list=f0_list)
         row = {
             k: float(np.mean([r[k] for r in results]))
             for k in ("mr_stft", "mcd_db", "wav_l1")
