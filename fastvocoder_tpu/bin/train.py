@@ -316,6 +316,17 @@ def run(args):
     )
     total_step = hp.epochs * steps_per_epoch
     logger.info(f"{steps_per_epoch} steps per epoch")
+    if steps_per_epoch == 0:
+        # silently exiting here would look like a clean rc=0 run to any
+        # supervisor and loop forever making no progress — fail loudly
+        raise SystemExit(
+            f"0 steps per epoch: {len(dataset)} items cannot fill one "
+            f"mega-batch of batch_size*batch_expand_size = "
+            f"{per_host_bs}*{hp.batch_expand_size} = "
+            f"{per_host_bs * hp.batch_expand_size} (drop_last semantics, "
+            "reference data/dataset.py mega-batch scheme); lower "
+            "--batch_size/--batch_expand_size or add data"
+        )
 
     current_step = args.restore_step
     max_steps = getattr(args, "max_steps", 0)

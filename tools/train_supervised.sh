@@ -67,6 +67,19 @@ while true; do
     echo "supervisor: segment finished at step $step2, done" >> "$LOG"
     break
   fi
+  if [ "$step2" -le "$step" ]; then
+    fails=$((${fails:-0} + 1))
+    if [ "$fails" -ge 3 ]; then
+      # three consecutive segments with no checkpoint progress: the run is
+      # wedged (bad args, broken data, persistent crash) — restarting
+      # forever would burn the host without training anything
+      echo "supervisor: no progress after $fails segments (stuck at step" \
+           "$step2, last rc=$rc), giving up" >> "$LOG"
+      exit 1
+    fi
+  else
+    fails=0
+  fi
   echo "supervisor: segment exited rc=$rc at step $step2, restarting" >> "$LOG"
   sleep 5
 done
