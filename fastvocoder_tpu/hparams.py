@@ -194,6 +194,8 @@ class DiscriminatorConfig:
     mfd_downsample_scales: Sequence[int] = (4, 4)
     # MPD — optional, unwired in the reference (discriminator.py:16)
     use_mpd: bool = False
+    mpd_periods: Sequence[int] = (2, 3, 5, 7, 11)
+    mpd_channels: Sequence[int] = (32, 128, 512, 1024)
 
 
 DISC = DiscriminatorConfig()
@@ -211,6 +213,7 @@ TINY_DISC = DiscriminatorConfig(
     mfd_channels=8,
     mfd_max_channels=32,
     mfd_downsample_scales=(4,),
+    mpd_channels=(4, 8, 8, 8),
 )
 
 

@@ -46,6 +46,8 @@ class Discriminator(nn.Module):
         )(x)
         if self.use_mpd:
             outs = outs + MultiPeriodDiscriminator(
-                compute_dtype=self.compute_dtype, name="mpd"
+                periods=self.cfg.mpd_periods,
+                channels=self.cfg.mpd_channels,
+                compute_dtype=self.compute_dtype, name="mpd",
             )(x)
         return outs

@@ -71,6 +71,10 @@ class PeriodDiscriminator(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    # strided-conv widths; the default is the reference's exact stack
+    # (reference mpd.py:293-301) — parity and checkpoint interchange
+    # depend on it.  Narrow widths exist for tests/dryruns only.
+    channels: Sequence[int] = (32, 128, 512, 1024)
     compute_dtype: Any = None
 
     @nn.compact
@@ -85,7 +89,7 @@ class PeriodDiscriminator(nn.Module):
 
         outs: List[jnp.ndarray] = []
         pad = (self.kernel_size * 1 - 1) // 2
-        for i, ch in enumerate((32, 128, 512, 1024)):
+        for i, ch in enumerate(self.channels):
             x = _WNConv2d(
                 ch, (self.kernel_size, 1), strides=(self.stride, 1),
                 padding=(pad, 0), compute_dtype=self.compute_dtype,
@@ -94,8 +98,9 @@ class PeriodDiscriminator(nn.Module):
             x = leaky_relu(x, LRELU_SLOPE)
             outs.append(x)
         x = _WNConv2d(
-            1024, (self.kernel_size, 1), strides=(1, 1), padding=(2, 0),
-            compute_dtype=self.compute_dtype, name="conv_4",
+            self.channels[-1], (self.kernel_size, 1), strides=(1, 1),
+            padding=(2, 0), compute_dtype=self.compute_dtype,
+            name=f"conv_{len(self.channels)}",
         )(x)
         x = leaky_relu(x, LRELU_SLOPE)
         outs.append(x)
@@ -110,13 +115,15 @@ class PeriodDiscriminator(nn.Module):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    channels: Sequence[int] = (32, 128, 512, 1024)
     compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[Tuple[jnp.ndarray, ...], ...]:
         return tuple(
             PeriodDiscriminator(
-                period=p, compute_dtype=self.compute_dtype, name=f"disc_{i}"
+                period=p, channels=self.channels,
+                compute_dtype=self.compute_dtype, name=f"disc_{i}",
             )(x)
             for i, p in enumerate(self.periods)
         )

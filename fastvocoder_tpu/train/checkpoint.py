@@ -263,10 +263,11 @@ def discriminator_key_map(
             n_down=len(cfg.mfd_downsample_scales),
         )
     if use_mpd:
-        for i in range(5):
+        for i in range(len(cfg.mpd_periods)):
             p = f"mpd.discriminators.{i}"
             f = ("mpd", f"disc_{i}")
-            for c in range(5):
+            # strided stack + the stride-1 head = len(channels)+1 convs
+            for c in range(len(cfg.mpd_channels) + 1):
                 entries.append(
                     MapEntry(f"{p}.convs.{c}", f + (f"conv_{c}",), "conv2d")
                 )

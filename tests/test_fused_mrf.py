@@ -237,10 +237,17 @@ def test_fused_mrf_grad_parity(C, s, rng):
                 )
 
 
+@pytest.mark.slow
 def test_hifigan_fused_train_step_bf16(monkeypatch):
     """Fused training composes with mixed precision: bf16 compute through
     the custom-VJP kernels (f32 recompute/accumulate inside) tracks the
-    standard bf16 path."""
+    standard bf16 path.
+
+    Slow tier: a composition-of-compositions (fused-train x bf16) whose
+    constituents are each gated in the default tier
+    (test_hifigan_fused_train_step_matches_standard,
+    test_trainer.py::test_bf16_mixed_precision_step); interpret-mode
+    Pallas makes it the single most expensive test in the suite."""
     from fastvocoder_tpu.hparams import (
         HP, HiFiGANConfig, ModelConfig, TINY_DISC,
     )

@@ -143,7 +143,12 @@ def test_data_parallel_step_on_mesh(rng):
     )
 
 
+@pytest.mark.slow
 def test_data_parallel_step_with_fused_train_kernels(monkeypatch, rng):
+    # slow tier: fused-train x data-parallel composition — its constituents
+    # are each gated in the default tier (test_data_parallel_step_on_mesh,
+    # test_fused_mrf.py::test_hifigan_fused_train_step_matches_standard);
+    # interpret-mode Pallas under an 8-device mesh makes it ~2.5 min.
     """8-way DP composes with the fused-train Pallas custom-VJP path: the
     sharded step equals the single-device step with the same kernels on
     (the batch dim is the leading pallas grid dim in the forward AND the
