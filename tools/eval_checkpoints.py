@@ -78,9 +78,14 @@ def main(argv=None):
     f0_list = loaded[2] if is_nhv else None
 
     rows = []
+    synth = None
     for step, path in ckpts:
-        synth = Synthesizer(path, args.config, args.model_name, HP,
-                            bucket_frames=64)
+        if synth is None:
+            synth = Synthesizer(path, args.config, args.model_name, HP,
+                                bucket_frames=64)
+        else:
+            # same config -> same shapes: swap params, keep compiled programs
+            synth.load_params(path)
         results = evaluate(synth, audio_list, mel_list, f0_list=f0_list)
         row = {
             k: float(np.mean([r[k] for r in results]))

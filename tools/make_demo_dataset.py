@@ -33,6 +33,11 @@ def main(argv=None):
                    help="drop tail segments shorter than this")
     p.add_argument("--sample_rate", type=int, default=24000)
     p.add_argument("--hop", type=int, default=240)
+    p.add_argument("--speeds", type=float, nargs="+", default=[1.0],
+                   help="kaldi-style speed perturbation factors: each source "
+                        "is additionally decoded as if played at f x speed "
+                        "(load at sample_rate*f, treat as sample_rate), "
+                        "multiplying the corpus duration by sum(1/f)")
     args = p.parse_args(argv)
 
     files = []
@@ -47,15 +52,21 @@ def main(argv=None):
     min_len = args.min_frames * args.hop
     paths = []
     for f in files:
-        wav = load_wav(f, sample_rate=args.sample_rate, encode=False)
-        stem = os.path.splitext(os.path.basename(f))[0].replace(".", "_")
-        for k, start in enumerate(range(0, len(wav), seg_len)):
-            seg = wav[start:start + seg_len]
-            if len(seg) < min_len:
-                break
-            out = os.path.join(args.out_dir, f"{stem}_seg{k}.wav")
-            save_wav(seg, out, args.sample_rate)
-            paths.append(os.path.abspath(out))
+        for speed in args.speeds:
+            # speed perturbation by resampling: decoding at sr*f and playing
+            # back at sr makes the clip 1/f as long with pitch scaled by f
+            wav = load_wav(f, sample_rate=int(round(args.sample_rate * speed)),
+                           encode=False)
+            stem = os.path.splitext(os.path.basename(f))[0].replace(".", "_")
+            if speed != 1.0:
+                stem += f"_sp{int(round(speed * 100)):03d}"
+            for k, start in enumerate(range(0, len(wav), seg_len)):
+                seg = wav[start:start + seg_len]
+                if len(seg) < min_len:
+                    break
+                out = os.path.join(args.out_dir, f"{stem}_seg{k}.wav")
+                save_wav(seg, out, args.sample_rate)
+                paths.append(os.path.abspath(out))
 
     with open(args.index_file, "w", encoding="utf-8") as f:
         f.write("\n".join(paths) + "\n")

@@ -23,7 +23,13 @@
 # Touch $STOP_FILE (default /tmp/stop_training) to stop between segments.
 # SEGMENT_STEPS bounds each segment's length so the per-step host-RAM leak
 # stays within budget — each segment exits gracefully with a final
-# checkpoint instead of riding the leak into the OOM killer.)
+# checkpoint instead of riding the leak into the OOM killer.
+# DEADLINE_EPOCH (unix seconds, optional) refuses to START a segment after
+# the deadline: set it below the round-end benchmark-capture window so no
+# training run is ever live on the chip when the driver measures
+# (VERDICT r03 weak 1: a live run poisoned the round-3 BENCH artifact).
+# Pair it with SEGMENT_STEPS sized to ~15-20 min so the last segment also
+# ENDS before the capture window.)
 set -u
 
 MAX_STEPS="$1"; shift
@@ -51,6 +57,10 @@ while true; do
   fi
   if [ -e "$STOP_FILE" ]; then
     echo "supervisor: $STOP_FILE present, stopping at step $step" >> "$LOG"
+    break
+  fi
+  if [ -n "${DEADLINE_EPOCH:-}" ] && [ "$(date +%s)" -ge "$DEADLINE_EPOCH" ]; then
+    echo "supervisor: wall-clock deadline reached, stopping at step $step" >> "$LOG"
     break
   fi
   resume=()
