@@ -52,29 +52,44 @@ def load_data_to_buffer(
 ) -> List[Item]:
     """with_f0=True additionally loads `<name>.f0.npy` next to each
     `<name>.mel.npy` (written by preprocess --extract_f0; NHV conditioning)."""
-    if feature_savepath and os.path.exists(feature_savepath):
-        log(f"loading buffer from {feature_savepath}")
-        with open(feature_savepath, "rb") as f:
-            buf = pickle.load(f)
-        if not with_f0:
-            if buf and "f0" in buf[0]:
-                # an NHV run shared this cache: drop its f0 entries, or
-                # collate would pack them as a phantom 81st mel channel
-                buf = [
-                    {k: v for k, v in item.items() if k != "f0"}
-                    for item in buf
-                ]
-            return buf
-        if buf and "f0" in buf[0]:
-            return buf
-        log("cached buffer lacks f0; reloading")
-
     audio_index = parse_path_file(audio_index_path_file)
     mel_index = parse_path_file(mel_index_path_file)
     assert len(audio_index) == len(mel_index)
     n = len(audio_index)
     if test_size and test_size < n:
         n = test_size
+    if feature_savepath and os.path.exists(feature_savepath):
+        log(f"loading buffer from {feature_savepath}")
+        with open(feature_savepath, "rb") as f:
+            cached = pickle.load(f)
+        # the cache file name is a fixed artifact (reference
+        # data/dataset.py:19-52 pickles to features_train.bin at cwd), so a
+        # run pointed at a DIFFERENT index (or test_size) must not silently
+        # reuse a stale buffer: caches record the (truncated) index they
+        # were built from and are rebuilt on mismatch (legacy list-format
+        # caches can't be checked and are rebuilt too)
+        buf = None
+        if isinstance(cached, dict):
+            if cached.get("mel_index") == mel_index[:n]:
+                buf = cached["items"]
+            else:
+                log("cached buffer was built from a different index; reloading")
+        else:
+            log("cached buffer predates index validation; reloading")
+        if buf is not None:
+            if not with_f0:
+                if buf and "f0" in buf[0]:
+                    # an NHV run shared this cache: drop its f0 entries, or
+                    # collate would pack them as a phantom 81st mel channel
+                    buf = [
+                        {k: v for k, v in item.items() if k != "f0"}
+                        for item in buf
+                    ]
+                return buf
+            elif buf and "f0" in buf[0]:
+                return buf
+            else:
+                log("cached buffer lacks f0; reloading")
 
     buffer: List[Item] = []
     start = time.perf_counter()
@@ -99,7 +114,7 @@ def load_data_to_buffer(
         # observe a partially written pickle
         tmp = feature_savepath + ".tmp"
         with open(tmp, "wb") as f:
-            pickle.dump(buffer, f)
+            pickle.dump({"mel_index": mel_index[:n], "items": buffer}, f)
         os.replace(tmp, feature_savepath)
     return buffer
 

@@ -137,6 +137,44 @@ def test_buffer_cache_roundtrip(tmp_path, rng):
     assert parse_path_file(str(af)) == audio_idx
 
 
+def test_buffer_cache_rejects_stale_index(tmp_path, rng):
+    """The cache file name is a fixed artifact (features_train.bin at cwd,
+    reference data/dataset.py:19-52): a run pointed at a DIFFERENT index
+    must rebuild, not silently train on the previous corpus."""
+    bufs = {}
+    for corpus in ("a", "b"):
+        d = tmp_path / corpus
+        d.mkdir()
+        audio_idx, mel_idx = [], []
+        for i in range(2):
+            wav = rng.standard_normal((12 * HOP,)).astype(np.float32)
+            mel = rng.standard_normal((80, 12)).astype(np.float32)
+            wp, mp = d / f"u{i}.wav.npy", d / f"u{i}.wav.mel.npy"
+            np.save(wp, wav)
+            np.save(mp, mel)
+            audio_idx.append(str(wp))
+            mel_idx.append(str(mp))
+        (tmp_path / f"audio_{corpus}.txt").write_text("\n".join(audio_idx) + "\n")
+        (tmp_path / f"mel_{corpus}.txt").write_text("\n".join(mel_idx) + "\n")
+
+    cache = str(tmp_path / "features.bin")
+    buf_a = load_data_to_buffer(
+        str(tmp_path / "audio_a.txt"), str(tmp_path / "mel_a.txt"),
+        feature_savepath=cache,
+    )
+    buf_b = load_data_to_buffer(
+        str(tmp_path / "audio_b.txt"), str(tmp_path / "mel_b.txt"),
+        feature_savepath=cache,
+    )
+    assert not np.array_equal(buf_a[0]["mel"], buf_b[0]["mel"])
+    # and the rebuilt cache now serves corpus b
+    buf_b2 = load_data_to_buffer(
+        str(tmp_path / "audio_b.txt"), str(tmp_path / "mel_b.txt"),
+        feature_savepath=cache,
+    )
+    np.testing.assert_array_equal(buf_b[0]["mel"], buf_b2[0]["mel"])
+
+
 def test_buffer_cache_f0_isolation(tmp_path, rng):
     """A cache written by an NHV run (f0-bearing items) must not leak f0
     into a later non-NHV run sharing the same cache path — collate would

@@ -77,6 +77,10 @@ def main(argv=None):
     p.add_argument("--output", type=str, default="", help="JSON results file")
     p.add_argument("--skip_griffin_lim", action="store_true",
                    help="skip the (slow) Griffin-Lim baseline")
+    p.add_argument("--protocol_note", type=str, default="",
+                   help="training-corpus provenance recorded into the JSON "
+                        "(e.g. whether the demo utterance was excluded from "
+                        "training — VERDICT r03 weak 2)")
     args = p.parse_args(argv)
 
     from fastvocoder_tpu.bin.synthesize import Synthesizer
@@ -92,7 +96,12 @@ def main(argv=None):
         ref_wav = audio.load_wav(demo, sample_rate=HP.sample_rate, encode=False)
         ref_wav = ref_wav.astype(np.float32)
         mel = audio.melspectrogram(ref_wav, HP)  # (80, T)
-        _, est_remove, _ = synth.synthesize(mel.T)
+        f0 = None
+        if args.model_name == "nhv":  # conditioning = mel + f0 (dsp/f0.py)
+            from fastvocoder_tpu.dsp.f0 import extract_f0
+
+            f0 = extract_f0(ref_wav, HP)[: mel.shape[1]]
+        _, est_remove, _ = synth.synthesize(mel.T, f0=f0)
         est = np.asarray(est_remove, dtype=np.float32)
 
         row = {"model_vs_reference": compare_wavs(est, ref_wav, HP)}
@@ -121,6 +130,7 @@ def main(argv=None):
                 {
                     "checkpoint": args.checkpoint_path,
                     "model_name": args.model_name,
+                    "protocol_note": args.protocol_note,
                     "results": all_results,
                 },
                 f,
