@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from fastvocoder_tpu.hparams import MelGANConfig, ModelConfig
 from fastvocoder_tpu.models.batched import BatchedSynthesizer, bucket_length
@@ -112,11 +113,16 @@ def test_batch_pad_pow2_matches_exact(rng):
         np.testing.assert_allclose(e, p2, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mesh_sharded_serving_composes_with_fused_kernels(monkeypatch, rng):
     """BatchedSynthesizer(mesh=...) with the fused MRF/tail Pallas kernels
     engaged must equal the single-device path — the batch dim is the
     leading pallas grid dim, so XLA partitions the fused programs across
-    the mesh without replication tricks."""
+    the mesh without replication tricks.
+
+    Slow tier: composition coverage — mesh serving alone
+    (test_batched_on_mesh_matches_single) and the fused kernels alone
+    (test_fused_mrf.py) both stay default (VERDICT r03 item 6)."""
     from fastvocoder_tpu.hparams import HiFiGANConfig, ModelConfig
     from fastvocoder_tpu.parallel.mesh import make_mesh
 

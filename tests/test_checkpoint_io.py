@@ -24,7 +24,10 @@ def _init_flax(cfg, rng, basis=None):
 
     gen = build_generator(cfg, basis_signal_weight=basis)
     mel = np.zeros((1, 8, 80), np.float32)
-    return gen, gen.init(jax.random.PRNGKey(0), mel)["params"]
+    # jitted init/apply throughout this file: eager dispatch of a full
+    # generator is tens of seconds on this single-core box, while compiles
+    # land in the persistent cache shared across suite runs
+    return gen, jax.jit(gen.init)(jax.random.PRNGKey(0), mel)["params"]
 
 
 @requires_reference
@@ -40,9 +43,9 @@ def test_torch_reference_loads_our_checkpoint(tmp_path, rng):
     cfg = load_model_config("hifigan", os.path.join(CONF, "hifigan/light.yaml"))
     gen, params = _init_flax(cfg, rng)
     disc = build_discriminator()
-    disc_params = disc.init(jax.random.PRNGKey(1), np.zeros((1, 4800), np.float32))[
-        "params"
-    ]
+    disc_params = jax.jit(disc.init)(
+        jax.random.PRNGKey(1), np.zeros((1, 4800), np.float32)
+    )["params"]
 
     path = str(tmp_path / "ckpt.pth.tar")
     save_checkpoint(path, cfg, params, disc_params, step=123)
@@ -69,7 +72,11 @@ def test_torch_reference_loads_our_checkpoint(tmp_path, rng):
         ref_out = ref(torch.from_numpy(mel)).numpy()
     if ref_out.ndim == 3:
         ref_out = ref_out[:, 0, :]
-    ours = np.asarray(gen.apply({"params": params}, np.transpose(mel, (0, 2, 1))))
+    ours = np.asarray(
+        jax.jit(lambda p, m: gen.apply({"params": p}, m))(
+            params, np.transpose(mel, (0, 2, 1))
+        )
+    )
     np.testing.assert_allclose(ours, ref_out, atol=2e-4, rtol=1e-3)
 
 
@@ -94,10 +101,14 @@ def test_we_load_reference_saved_checkpoint(tmp_path, rng):
     path = str(tmp_path / "ref_ckpt.pth.tar")
     torch.save({"model": ref.state_dict()}, path)
 
+    import jax
+
     out = load_checkpoint(path, cfg, with_discriminator=False)
     gen = build_generator(cfg)
     mel = rng.standard_normal((1, 10, 80)).astype(np.float32)
-    ours = np.asarray(gen.apply({"params": out["gen_params"]}, mel))
+    ours = np.asarray(
+        jax.jit(lambda p, m: gen.apply({"params": p}, m))(out["gen_params"], mel)
+    )
     with torch.no_grad():
         theirs = ref(torch.from_numpy(np.transpose(mel, (0, 2, 1)))).numpy()
     np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)

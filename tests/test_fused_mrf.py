@@ -110,10 +110,15 @@ def test_hifigan_generator_fused_path_parity(monkeypatch, rng):
     assert np.sqrt(((got - ref) ** 2).mean()) < 5e-5
 
 
+@pytest.mark.slow
 def test_hifigan_large_generator_fused_path_parity(monkeypatch, rng):
     """End-to-end hifigan-large: fused graph == standard graph.  Exercises
     every fused width in one model — C=256 (per-branch split calls), C=128
-    (sparse-tap s=1), C=64 (s=2 blocked), C=32 — plus the fused tail."""
+    (sparse-tap s=1), C=64 (s=2 blocked), C=32 — plus the fused tail.
+
+    Slow tier: the light-config end-to-end test is the default-tier
+    representative; every width this adds is covered individually by the
+    default-tier stage tests (suite-time budget, VERDICT r03 item 6)."""
     import os
 
     from fastvocoder_tpu.hparams import load_model_config
@@ -176,7 +181,20 @@ def test_fused_mrf_gate_training_form(monkeypatch):
     assert not _use_fused_mrf(cfg, False, 256, 1920, batch=32)
 
 
-@pytest.mark.parametrize("C,s", [(16, 8), (32, 4), (64, 2), (128, 1), (256, 1)])
+@pytest.mark.parametrize(
+    "C,s",
+    [
+        # default tier keeps one representative per backward code path:
+        # (32,4) = blocked layout, (256,1) = per-branch split; the other
+        # widths reuse those paths and run in the slow tier (forward
+        # coverage for every width stays default via the stage tests)
+        pytest.param(16, 8, marks=pytest.mark.slow),
+        (32, 4),
+        pytest.param(64, 2, marks=pytest.mark.slow),
+        pytest.param(128, 1, marks=pytest.mark.slow),
+        (256, 1),
+    ],
+)
 def test_fused_mrf_grad_parity(C, s, rng):
     """custom_vjp backward kernel == autodiff through the ResBlock1 module
     path, wrt the input and every conv weight/bias."""

@@ -118,12 +118,18 @@ def test_generator_parity(model_name, conf, rng):
         else:
             ref_out = ref(torch.from_numpy(mel)).numpy()
 
+    import jax
+
+    # jitted applies file-wide: eager dispatch of a full generator costs
+    # tens of seconds on this single-core box; compiles land in the
+    # persistent cache shared across suite runs (VERDICT r03 item 6)
     mel_ntc = np.transpose(mel, (0, 2, 1))
+    apply = jax.jit(lambda p, m: gen.apply({"params": p}, m))
     if model_name == "basis-melgan":
-        out, w = gen.apply({"params": params}, mel_ntc)
+        out, w = apply(params, mel_ntc)
         np.testing.assert_allclose(np.asarray(w), ref_w, atol=2e-4, rtol=1e-3)
     else:
-        out = gen.apply({"params": params}, mel_ntc)
+        out = apply(params, mel_ntc)
     out = np.asarray(out)
 
     if model_name == "multiband-hifigan":
@@ -155,10 +161,12 @@ def test_weight_norm_fusion_matches(model_name, conf, rng):
     gen_wn = build_generator(cfg, basis_signal_weight=basis)
     gen_fused = build_generator(cfg, basis_signal_weight=basis, weight_norm=False)
 
+    import jax
+
     B, T = 1, 16
     mel = rng.standard_normal((B, T, 80)).astype(np.float32)
-    a = gen_wn.apply({"params": params}, mel)
-    b = gen_fused.apply({"params": fused}, mel)
+    a = jax.jit(lambda p, m: gen_wn.apply({"params": p}, m))(params, mel)
+    b = jax.jit(lambda p, m: gen_fused.apply({"params": p}, m))(fused, mel)
     if model_name == "basis-melgan":
         a, b = a[0], b[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
@@ -200,6 +208,8 @@ def test_discriminator_parity(rng):
     ref.eval()
     params = torch_to_flax(ref.state_dict(), discriminator_key_map())
 
+    import jax
+
     disc = build_discriminator()
 
     B, T = 2, 4800
@@ -207,7 +217,7 @@ def test_discriminator_parity(rng):
     with torch.no_grad():
         ref_outs = ref(torch.from_numpy(wav).unsqueeze(1))
 
-    outs = disc.apply({"params": params}, wav)
+    outs = jax.jit(lambda p, w: disc.apply({"params": p}, w))(params, wav)
 
     assert len(outs) == len(ref_outs) == 6  # 3 MSD scales + 3 MFD resolutions
     for scale_i, (ours, theirs) in enumerate(zip(outs, ref_outs)):
@@ -243,12 +253,18 @@ def test_hifigan_nearest_interp_upsample_parity(rng):
     params = torch_to_flax(ref.state_dict(), generator_key_map(cfg))
     gen = build_generator(cfg)
 
+    import jax
+
     mel = rng.standard_normal((1, 80, 10)).astype(np.float32)
     with torch.no_grad():
         ref_out = ref(torch.from_numpy(mel)).numpy()
     if ref_out.ndim == 3:
         ref_out = ref_out[:, 0, :]
-    out = np.asarray(gen.apply({"params": params}, np.transpose(mel, (0, 2, 1))))
+    out = np.asarray(
+        jax.jit(lambda p, m: gen.apply({"params": p}, m))(
+            params, np.transpose(mel, (0, 2, 1))
+        )
+    )
     np.testing.assert_allclose(out, ref_out, atol=2e-4, rtol=1e-3)
 
 
@@ -277,10 +293,16 @@ def test_melgan_causal_parity(rng):
     params = torch_to_flax(ref.state_dict(), generator_key_map(cfg))
     gen = build_generator(cfg)
 
+    import jax
+
     mel = rng.standard_normal((1, 80, 12)).astype(np.float32)
     with torch.no_grad():
         ref_out = ref(torch.from_numpy(mel)).numpy()
     if ref_out.ndim == 3:
         ref_out = ref_out[:, 0, :]
-    out = np.asarray(gen.apply({"params": params}, np.transpose(mel, (0, 2, 1))))
+    out = np.asarray(
+        jax.jit(lambda p, m: gen.apply({"params": p}, m))(
+            params, np.transpose(mel, (0, 2, 1))
+        )
+    )
     np.testing.assert_allclose(out, ref_out, atol=2e-4, rtol=1e-3)

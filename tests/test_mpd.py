@@ -39,9 +39,13 @@ def test_mpd_parity_and_pad_path(rng):
 
     B, T = 2, 2310  # multiple of 2*3*5*7*11 to avoid pad-path ambiguity
     wav = (0.1 * rng.standard_normal((B, T))).astype(np.float32)
+    import jax
+
     with torch.no_grad():
         ref_outs = ref(torch.from_numpy(wav).unsqueeze(1))
-    outs = mpd.apply({"params": params}, wav[..., None])
+    # jitted: eager dispatch of the 5-period conv stack is ~20s on this box
+    apply = jax.jit(lambda p, w: mpd.apply({"params": p}, w))
+    outs = apply(params, wav[..., None])
 
     assert len(outs) == len(ref_outs) == 5
     for si, (ours, theirs) in enumerate(zip(outs, ref_outs)):
@@ -61,7 +65,9 @@ def test_mpd_parity_and_pad_path(rng):
     wav = (0.1 * rng.standard_normal((1, 1151))).astype(np.float32)
     with torch.no_grad():
         ref_outs = ref(torch.from_numpy(wav).unsqueeze(1))
-    outs = mpd.apply({"params": params}, wav[..., None])
+    outs = jax.jit(lambda p, w: mpd.apply({"params": p}, w))(
+        params, wav[..., None]
+    )
     for ours, theirs in zip(outs, ref_outs):
         t = theirs[-1].numpy()
         np.testing.assert_allclose(

@@ -60,11 +60,12 @@ def test_spectral_parity_on_reference_mel(model_name, conf, tmp_path, rng):
     with torch.no_grad():
         ref_wav = ref.inference(torch.from_numpy(mel.T)).numpy().reshape(-1)
 
+    import jax
+
     method = gen.inference if model_name == "basis-melgan" else None
-    ours = gen.apply(
-        {"params": out["gen_params"]},
-        mel.T[None],
-        **({"method": method} if method else {}),
+    kw = {"method": method} if method else {}
+    ours = jax.jit(lambda p, m: gen.apply({"params": p}, m, **kw))(
+        out["gen_params"], mel.T[None]
     )
     our_wav = np.asarray(ours).reshape(-1)
 
