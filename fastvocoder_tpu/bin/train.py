@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import logging
 import os
+import time
 from datetime import datetime
 
 import numpy as np
@@ -91,6 +92,47 @@ def _make_writer(logdir: str):
     except Exception:  # pragma: no cover — tensorboard not installed
         logger.warning("tensorboard unavailable; scalar logging disabled")
         return _NoopWriter()
+
+
+def _start_stall_watchdog(
+    heartbeat, stall_exit_s, logger_path, exit_fn=os._exit, sleep_fn=time.sleep
+):
+    """Failure detection (SURVEY.md §5): over the remote device link a
+    request can be lost in a way the client never times out on; the process
+    then hangs forever holding the chip, and the segment supervisor
+    (tools/train_supervised.sh) only detects dead PROCESSES, not
+    live-but-hung ones.  This daemon thread turns "no completed train-loop
+    iteration for stall_exit_s seconds" into exit_fn(17), so the supervisor
+    relaunches from the newest checkpoint.  The bound must stay generous:
+    an XLA compile at a step boundary (first step of a segment, or the
+    pre-adv->GAN transition) takes minutes over this link, and host CPU
+    starvation can slow — not hang — a step by >10x.  heartbeat is a
+    1-element list holding the monotonic time of the last completed
+    iteration (the train loop updates it in place)."""
+    import threading
+
+    def _watch():
+        while True:
+            sleep_fn(min(30.0, stall_exit_s / 4))
+            idle = time.monotonic() - heartbeat[0]
+            if idle > stall_exit_s:
+                msg = (
+                    f"stall watchdog: no training progress for {idle:.0f}s "
+                    f"(> --stall_exit_s={stall_exit_s}); exiting for "
+                    f"supervisor resume from the last checkpoint"
+                )
+                logger.error(msg)
+                try:  # also into the run's own log dir
+                    with open(os.path.join(logger_path, "logger.txt"), "a") as f:
+                        f.write(msg + "\n")
+                except OSError:
+                    pass
+                exit_fn(17)
+                return  # only reached with an injected exit_fn (tests)
+
+    t = threading.Thread(target=_watch, daemon=True)
+    t.start()
+    return t
 
 
 def run(args):
@@ -401,6 +443,13 @@ def run(args):
     start_step = current_step
     is_basis = args.model_name == "basis-melgan"
 
+    # stall watchdog (failure detection, see _start_stall_watchdog): first
+    # iteration gets 2x grace — it pays the segment's step compile
+    stall_exit_s = getattr(args, "stall_exit_s", 900)
+    heartbeat = [time.monotonic() + stall_exit_s]
+    if is_main and stall_exit_s > 0:
+        _start_stall_watchdog(heartbeat, stall_exit_s, current_logger_path)
+
     def host_batches():
         # Persistent cross-epoch stream: ONE prefetch pipeline for the whole
         # run, so host assembly + H2D of batch k+1 always overlap step k.
@@ -432,6 +481,7 @@ def run(args):
                 yield batch
 
     for batch in prefetch_to_device(host_batches(), mesh=mesh):
+        heartbeat[0] = time.monotonic()
         current_step += 1
         epoch = (current_step - start_step - 1) // max(steps_per_epoch, 1)
         step_fn = gan if current_step > hp.discriminator_train_start_steps else pre_adv
@@ -558,6 +608,14 @@ def run_train(argv=None):
     parser.add_argument("--valid_num", type=int, default=HP.valid_num)
     parser.add_argument("--discriminator_train_start_steps", type=int,
                         default=HP.discriminator_train_start_steps)
+    parser.add_argument("--stall_exit_s", type=int, default=900,
+                        help="exit (rc=17) if no training step completes "
+                             "for this many seconds, so a segment "
+                             "supervisor can relaunch from the newest "
+                             "checkpoint; 0 disables. Keep generous: step "
+                             "boundary compiles take minutes over a remote "
+                             "device link, and host CPU starvation slows "
+                             "steps >10x without hanging them")
     parser.add_argument("--use_mpd", type=int, default=-1,
                         help="add HiFiGAN's multi-period discriminator to "
                              "the composite (1/0; -1 = take the YAML "
