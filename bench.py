@@ -387,6 +387,7 @@ def bench_training(root, extras, emit):
         if _remaining() < _EST_TRAIN[phase]:
             extras.setdefault("skipped", []).append(f"train_step.{label}")
             print(f"train {label}: SKIPPED (budget)", file=sys.stderr)
+            emit()  # the artifact must record what was dropped
             continue
         try:
             rows[label] = bench_train_step(
@@ -448,6 +449,7 @@ def main():
         if headline[0] is not None and _remaining() < 75.0:
             extras.setdefault("skipped", []).append(key)
             print(f"{key}: SKIPPED (budget)", file=sys.stderr)
+            emit()  # the artifact must record what was dropped
             continue
         try:
             _bench_model(model_name, conf, key, baseline, root, mels, extras)
