@@ -1,5 +1,7 @@
 #!/usr/bin/env bash
-# Round-4 end-game (run AFTER DEADLINE_EPOCH=1787186700, ~00:45):
+# Round-4 end-game (run AFTER the continuation's TRAIN_DEADLINE=1787192700,
+# ~02:25 — tools/round4_continuation.sh extends training past the main
+# schedule's 00:45 deadline):
 # everything is timeout-bounded so nothing can be live on the chip when the
 # driver captures BENCH_r04 (VERDICT r03 weak 1).  Steps:
 #   1. verify the schedule is over + chip is idle
@@ -9,6 +11,9 @@
 # Run each phase manually; this script is a checklist as much as a tool.
 set -u
 cd "$(dirname "$0")/.."
+
+echo "== 0. stop-file (belt and braces: supervisors stop between segments) =="
+touch /tmp/stop_training
 
 echo "== 1. residual training processes (expect none) =="
 ps -eo pid,args | grep -E "fastvocoder_tpu\.bin\.(train|evaluation)" | grep -v grep || echo "  none"
