@@ -158,6 +158,14 @@ def run(args):
         load_checkpoint,
     )
 
+    # persistent compile cache: segmented long runs (tools/train_supervised.sh
+    # restarts the process every SEGMENT_STEPS) otherwise pay the full GAN
+    # train-step recompile — ~10 min over the remote device link — at the
+    # start of EVERY segment
+    import fastvocoder_tpu
+
+    fastvocoder_tpu.enable_compilation_cache()
+
     # multi-host: forms the global runtime when the env requests it
     # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID);
     # single-host runs are unchanged
@@ -372,6 +380,20 @@ def run(args):
 
     current_step = args.restore_step
     max_steps = getattr(args, "max_steps", 0)
+    # Hard wall-clock stop INSIDE the step loop: the supervisor's
+    # DEADLINE_EPOCH only refuses to START segments, so a long segment
+    # could still be live on the chip during the round-end benchmark
+    # capture window (that contention voided the round-3 BENCH artifact).
+    # TRAIN_DEADLINE_EPOCH (falling back to DEADLINE_EPOCH) makes the
+    # guarantee hard: at the first step boundary past the deadline the
+    # trainer checkpoints the tail and exits cleanly, exactly like
+    # reaching max_steps.
+    wall_deadline = float(
+        os.environ.get(
+            "TRAIN_DEADLINE_EPOCH", os.environ.get("DEADLINE_EPOCH", "0")
+        )
+        or 0
+    )
     L = cfg.arch.L if args.model_name == "basis-melgan" else None
 
     from fastvocoder_tpu.runtime import StepTimer, prefetch_to_device
@@ -536,8 +558,15 @@ def run(args):
             if is_main:
                 run_validation()
 
-        if max_steps and current_step >= max_steps:
-            logger.info(f"reached max_steps={max_steps}; stopping")
+        past_deadline = wall_deadline and time.time() >= wall_deadline
+        if (max_steps and current_step >= max_steps) or past_deadline:
+            if past_deadline:
+                logger.info(
+                    f"wall-clock deadline {wall_deadline:.0f} reached at "
+                    f"step {current_step}; stopping"
+                )
+            else:
+                logger.info(f"reached max_steps={max_steps}; stopping")
             drain_metrics()
             if is_main and current_step % hp.save_step != 0:
                 # save the tail progress so segmented runs (--max_steps N,

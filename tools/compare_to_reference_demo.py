@@ -61,6 +61,9 @@ def compare_wavs(est: np.ndarray, ref: np.ndarray, hp) -> dict:
 
 
 def main(argv=None):
+    import fastvocoder_tpu
+
+    fastvocoder_tpu.enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint_path", type=str, required=True)
     p.add_argument("--model_name", type=str, required=True)

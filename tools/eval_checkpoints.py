@@ -46,6 +46,9 @@ def find_checkpoints(root: str) -> list:
 
 
 def main(argv=None):
+    import fastvocoder_tpu
+
+    fastvocoder_tpu.enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint_root", type=str, default="checkpoint")
     p.add_argument("--model_name", type=str, required=True)
