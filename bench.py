@@ -376,9 +376,11 @@ def _watchdog(headline, emit_lock, exit_fn=os._exit, sleep_fn=time.sleep):
                 return  # only reached with an injected exit_fn (tests)
 
 
-def bench_training(root, extras, emit):
+def bench_training(root, extras, emit, rows_spec=None):
     rows = extras.setdefault("train_step", {})
-    for model_name, conf, phase, mix, fused in TRAIN_ROWS:
+    for model_name, conf, phase, mix, fused in (
+        TRAIN_ROWS if rows_spec is None else rows_spec
+    ):
         label = (
             f"{model_name.replace('-', '_')}_{phase}"
             + ("_bf16" if mix else "")
@@ -438,14 +440,16 @@ def main():
                 flush=True,
             )
 
-    # group order is priority order: headline basis-melgan first, then the
-    # baseline-bearing hifigan-light, then the train-throughput rows, then
-    # the remaining model families — later groups degrade first under budget
-    first = [m for m in MODELS if m[2] in ("basis_melgan_rtf", "hifigan_light_rtf")]
+    # group order is priority order (VERDICT r04 item 1b): the headline
+    # basis-melgan RTF group first, then ONE training-throughput row (the
+    # fused hifigan GAN step, whose MFU number no driver artifact has ever
+    # carried), then the remaining RTF groups, then the remaining train
+    # rows — so the highest-information rows survive any budget squeeze
+    first = [m for m in MODELS if m[2] == "basis_melgan_rtf"]
     rest = [m for m in MODELS if m not in first]
     for group_i, (model_name, conf, key, baseline) in enumerate(first + rest):
         if group_i == len(first):
-            bench_training(root, extras, emit)
+            bench_training(root, extras, emit, rows_spec=TRAIN_ROWS[:1])
         if headline[0] is not None and _remaining() < 75.0:
             extras.setdefault("skipped", []).append(key)
             print(f"{key}: SKIPPED (budget)", file=sys.stderr)
@@ -462,6 +466,8 @@ def main():
         if key == "basis_melgan_rtf" and "rtf" in extras.get(key, {}):
             headline[0] = (extras[key]["rtf"], baseline)
         emit()
+    # lower-priority train rows (unfused A/B, basis pre-adv) run last
+    bench_training(root, extras, emit, rows_spec=TRAIN_ROWS[1:])
     if headline[0] is None:
         raise RuntimeError(
             f"headline model failed: {extras.get('basis_melgan_rtf')}"

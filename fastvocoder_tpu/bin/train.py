@@ -388,12 +388,19 @@ def run(args):
     # guarantee hard: at the first step boundary past the deadline the
     # trainer checkpoints the tail and exits cleanly, exactly like
     # reaching max_steps.
-    wall_deadline = float(
-        os.environ.get(
-            "TRAIN_DEADLINE_EPOCH", os.environ.get("DEADLINE_EPOCH", "0")
-        )
-        or 0
+    raw_deadline = os.environ.get(
+        "TRAIN_DEADLINE_EPOCH", os.environ.get("DEADLINE_EPOCH", "0")
     )
+    try:
+        wall_deadline = float(raw_deadline or 0)
+    except ValueError:
+        # a malformed value must not kill every supervisor segment at launch
+        # (ADVICE r04 item 3) — run without a deadline instead
+        logger.warning(
+            "ignoring malformed TRAIN_DEADLINE_EPOCH/DEADLINE_EPOCH value "
+            f"{raw_deadline!r}; running without a wall-clock deadline"
+        )
+        wall_deadline = 0.0
     L = cfg.arch.L if args.model_name == "basis-melgan" else None
 
     from fastvocoder_tpu.runtime import StepTimer, prefetch_to_device
@@ -558,7 +565,19 @@ def run(args):
             if is_main:
                 run_validation()
 
-        past_deadline = wall_deadline and time.time() >= wall_deadline
+        past_deadline = bool(wall_deadline) and time.time() >= wall_deadline
+        if wall_deadline and proc_count > 1:
+            # host clocks skew: one process deciding to stop at step N while
+            # a peer dispatches step N+1's collectives hangs the job past the
+            # deadline (ADVICE r04 item 2).  Process 0's clock decides for
+            # everyone; the broadcast doubles as a step-boundary barrier.
+            from jax.experimental import multihost_utils
+
+            past_deadline = bool(
+                multihost_utils.broadcast_one_to_all(
+                    np.asarray(past_deadline)
+                )
+            )
         if (max_steps and current_step >= max_steps) or past_deadline:
             if past_deadline:
                 logger.info(

@@ -84,7 +84,14 @@ def main(argv=None):
                    help="training-corpus provenance recorded into the JSON "
                         "(e.g. whether the demo utterance was excluded from "
                         "training — VERDICT r03 weak 2)")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on host CPU (shell-level JAX_PLATFORMS=cpu is "
+                        "ineffective under the axon sitecustomize; this flag "
+                        "forces the platform in-process so demo comparisons "
+                        "never contend with a live training run on the chip)")
     args = p.parse_args(argv)
+    if args.cpu:
+        fastvocoder_tpu.force_platform("cpu")
 
     from fastvocoder_tpu.bin.synthesize import Synthesizer
     from fastvocoder_tpu.dsp import audio

@@ -60,7 +60,14 @@ def main(argv=None):
     p.add_argument("--num_items", type=int, default=6)
     p.add_argument("--csv_out", type=str, required=True)
     p.add_argument("--min_step", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="run on host CPU (shell-level JAX_PLATFORMS=cpu is "
+                        "ineffective under the axon sitecustomize; this flag "
+                        "forces the platform in-process so checkpoint evals "
+                        "never contend with a live training run on the chip)")
     args = p.parse_args(argv)
+    if args.cpu:
+        fastvocoder_tpu.force_platform("cpu")
 
     from fastvocoder_tpu.bin.evaluation import evaluate, load_data
     from fastvocoder_tpu.bin.synthesize import Synthesizer

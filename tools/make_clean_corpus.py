@@ -31,6 +31,7 @@ from __future__ import annotations
 import argparse
 import os
 import random
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -46,6 +47,10 @@ def main(argv=None):
     p.add_argument("--lj_dir", default=LJ_DIR)
     p.add_argument("--root", default="dataset")
     p.add_argument("--speeds", type=float, nargs="+", default=[0.9, 1.0, 1.1])
+    p.add_argument("--gains", type=float, nargs="+", default=[1.0],
+                   help="peak-level augmentation crossed with --speeds "
+                        "(train pool only; the clip-0 eval pool stays "
+                        "unaugmented)")
     p.add_argument("--segment_frames", type=int, default=192)
     p.add_argument("--n_valid", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
@@ -65,6 +70,7 @@ def main(argv=None):
         "--out_dir", src_dir, "--index_file", train_index,
         "--segment_frames", str(args.segment_frames),
         "--speeds", *[str(s) for s in args.speeds],
+        "--gains", *[str(g) for g in args.gains],
     ])
     make_demo_dataset.main([
         "--sources", os.path.join(args.lj_dir, "0.wav"),
@@ -91,7 +97,11 @@ def main(argv=None):
     # 3. splits: valid = n_valid seeded 1.0-speed segments from the train
     #    pool; train = the rest of the pool; eval = all clip-0 segments
     pool_train_ids = indices_for(pool_train)
-    unperturbed = [i for i in pool_train_ids if "_sp" not in audio_index[i]]
+    unperturbed = [
+        i for i in pool_train_ids
+        if "_sp" not in audio_index[i]
+        and not re.search(r"_g\d", audio_index[i])
+    ]
     rng = random.Random(args.seed)
     valid_ids = sorted(rng.sample(unperturbed, args.n_valid))
     train_ids = [i for i in pool_train_ids if i not in set(valid_ids)]

@@ -38,6 +38,13 @@ def main(argv=None):
                         "is additionally decoded as if played at f x speed "
                         "(load at sample_rate*f, treat as sample_rate), "
                         "multiplying the corpus duration by sum(1/f)")
+    p.add_argument("--gains", type=float, nargs="+", default=[1.0],
+                   help="peak-level augmentation factors crossed with "
+                        "--speeds: segments are written peak-normalized to "
+                        "each gain (save_wav rescale_out), which shifts the "
+                        "normalized mel by 20*log10(g)/min_level_db and "
+                        "scales the target waveform — preprocessing loads "
+                        "unencoded so the level survives to the artifacts")
     args = p.parse_args(argv)
 
     files = []
@@ -57,16 +64,20 @@ def main(argv=None):
             # back at sr makes the clip 1/f as long with pitch scaled by f
             wav = load_wav(f, sample_rate=int(round(args.sample_rate * speed)),
                            encode=False)
-            stem = os.path.splitext(os.path.basename(f))[0].replace(".", "_")
+            base = os.path.splitext(os.path.basename(f))[0].replace(".", "_")
             if speed != 1.0:
-                stem += f"_sp{int(round(speed * 100)):03d}"
-            for k, start in enumerate(range(0, len(wav), seg_len)):
-                seg = wav[start:start + seg_len]
-                if len(seg) < min_len:
-                    break
-                out = os.path.join(args.out_dir, f"{stem}_seg{k}.wav")
-                save_wav(seg, out, args.sample_rate)
-                paths.append(os.path.abspath(out))
+                base += f"_sp{int(round(speed * 100)):03d}"
+            for gain in args.gains:
+                stem = base
+                if gain != 1.0:
+                    stem += f"_g{int(round(gain * 100)):03d}"
+                for k, start in enumerate(range(0, len(wav), seg_len)):
+                    seg = wav[start:start + seg_len]
+                    if len(seg) < min_len:
+                        break
+                    out = os.path.join(args.out_dir, f"{stem}_seg{k}.wav")
+                    save_wav(seg, out, args.sample_rate, rescale_out=gain)
+                    paths.append(os.path.abspath(out))
 
     with open(args.index_file, "w", encoding="utf-8") as f:
         f.write("\n".join(paths) + "\n")
