@@ -1,0 +1,208 @@
+"""Whole-corpus HBM cache with on-device crop gathering.
+
+The reference streams every batch host->device: random crops are cut on the
+CPU and `.to(device)` ships them each step (reference bin/train.py:423-429,
+data/dataset.py:63-73).  That design is wrong for this environment twice
+over:
+
+  * the remote device link makes per-step H2D the bottleneck — a
+    Basis-MelGAN batch carries ~70 MB of weight targets per step (batch 32
+    x 2240 weight-steps x 256 ch), measured at 1.3-2.0 s/step against
+    0.2-0.3 s/step of actual compute;
+  * the axon client leaks ~1:1 host RAM per device_put (docs/PERF.md), so
+    long runs must be cut into supervisor segments just to shed the leak.
+
+A speech-vocoder training corpus is tiny by HBM standards (the full clean
+corpus — mel + wav + basis weight targets — is ~1 GB padded), so the
+TPU-native answer is to stage the entire corpus in device memory ONCE and
+cut the random crops on device: per step the host sends two int32 vectors
+(utterance ids + crop starts, ~256 bytes), and a jitted gather slices the
+batch out of HBM at memory bandwidth.  H2D traffic per step drops ~5
+orders of magnitude, and the RAM leak stops growing with step count.
+
+Crop semantics match `data.dataset.crop_item`/`collate` exactly: start is
+uniform over [0, len-fixed) (0 when the utterance is shorter), wav spans
+`hop_size` samples per frame, weight spans `hop_size/(L/2)` steps per
+frame, shorter utterances read zero padding (the stacked arrays are
+zero-padded, which is what `_pad_to` produces).  The reference's
+mega-batch sort-by-length (reference data/dataset.py:131-142) is a
+variable-length padding-efficiency trick; with static `fixed_length`
+crops it only permutes item order within an epoch, so the device path
+uses the plain per-epoch shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+
+from fastvocoder_tpu.hparams import HP, Hparams
+
+
+class DeviceCorpus:
+    """Stage a BufferDataset/WeightDataset's items in HBM; serve batches by
+    on-device gathering.
+
+    With a mesh, the corpus is replicated across the data-parallel devices
+    and gathered batches come out batch-sharded — the same layout
+    `runtime.prefetch_to_device(..., mesh=...)` produces for host batches.
+    """
+
+    def __init__(self, dataset, hp: Hparams = HP, L: Optional[int] = None,
+                 mesh=None, log=print):
+        import jax
+
+        self.hp = hp
+        self.L = L
+        self.mesh = mesh
+
+        items = [dataset[i] for i in range(len(dataset))]
+        n = len(items)
+        frames = np.array([it["mel"].shape[0] for it in items], np.int32)
+        F = int(frames.max())
+        hop = hp.hop_size
+
+        def stack(key, length, dtype=np.float32):
+            arrs = []
+            for it in items:
+                x = np.asarray(it[key], dtype)[:length]
+                pad = [(0, length - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+                arrs.append(np.pad(x, pad))
+            return np.stack(arrs)
+
+        mel = stack("mel", F)  # (N, F, 80)
+        if "f0" in items[0]:
+            # NHV conditioning: f0 as mel channel 80 (data.dataset.collate)
+            f0 = stack("f0", F)
+            mel = np.concatenate([mel, f0[..., None]], axis=-1)
+        wav = stack("wav", F * hop)  # (N, F*hop)
+        host = {"mel": mel, "wav": wav}
+        self.wstep = None
+        if "weight" in items[0]:
+            import ml_dtypes
+
+            self.wstep = hop // (L // 2)
+            # bf16 target: the host path already ships weights f16 (an L1
+            # target; the loss accumulates f32) — same precision class
+            host["weight"] = stack("weight", F * self.wstep,
+                                   ml_dtypes.bfloat16)
+
+        self.n_items = n
+        self.frames = frames
+        nbytes = sum(a.nbytes for a in host.values())
+        log(
+            f"device corpus: {n} utterances, {F} max frames, "
+            f"{nbytes / 1e6:.0f} MB staged in HBM "
+            f"({'mesh-replicated' if mesh is not None else 'single device'})"
+        )
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicated = NamedSharding(mesh, PartitionSpec())
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            self.arrays = {
+                k: jax.device_put(v, replicated) for k, v in host.items()
+            }
+        else:
+            self._batch_sharding = None
+            self.arrays = {k: jax.device_put(v) for k, v in host.items()}
+        self._gather = {}  # (with_weight,) -> compiled gather
+
+    # ------------------------------------------------------------------
+    # on-device gather
+    # ------------------------------------------------------------------
+
+    def _make_gather(self, with_weight: bool):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        fixed = self.hp.fixed_length
+        hop = self.hp.hop_size
+        wstep = self.wstep
+        mel_all, wav_all = self.arrays["mel"], self.arrays["wav"]
+        weight_all = self.arrays.get("weight") if with_weight else None
+
+        def one(idx, start):
+            m = lax.dynamic_index_in_dim(mel_all, idx, 0, keepdims=False)
+            mel = lax.dynamic_slice(m, (start, 0), (fixed, m.shape[-1]))
+            w = lax.dynamic_index_in_dim(wav_all, idx, 0, keepdims=False)
+            wav = lax.dynamic_slice(w, (start * hop,), (fixed * hop,))
+            out = {"mel": mel, "wav": wav}
+            if weight_all is not None:
+                t = lax.dynamic_index_in_dim(
+                    weight_all, idx, 0, keepdims=False
+                )
+                out["weight"] = lax.dynamic_slice(
+                    t, (start * wstep, 0), (fixed * wstep, t.shape[-1])
+                )
+            return out
+
+        fn = jax.vmap(one)
+        if self._batch_sharding is not None:
+            shardings = jax.tree_util.tree_map(
+                lambda _: self._batch_sharding,
+                {"mel": 0, "wav": 0, **({"weight": 0} if with_weight else {})},
+            )
+            return jax.jit(fn, out_shardings=shardings)
+        return jax.jit(fn)
+
+    def gather(self, idx: np.ndarray, starts: np.ndarray,
+               with_weight: bool = False) -> dict:
+        key = bool(with_weight and self.wstep is not None)
+        if key not in self._gather:
+            self._gather[key] = self._make_gather(key)
+        return self._gather[key](
+            np.asarray(idx, np.int32), np.asarray(starts, np.int32)
+        )
+
+    # ------------------------------------------------------------------
+    # training stream
+    # ------------------------------------------------------------------
+
+    def sample_crops(self, rng: np.random.Generator, idx: np.ndarray):
+        """crop_item's start distribution: uniform over [0, len-fixed)
+        when len > fixed+1, else 0."""
+        lens = self.frames[idx]
+        fixed = self.hp.fixed_length
+        hi = np.maximum(lens - fixed, 1)
+        starts = rng.integers(0, hi)
+        return np.where(lens > fixed + 1, starts, 0).astype(np.int32)
+
+    def batches(
+        self,
+        seed: int = 0,
+        batch_size: Optional[int] = None,
+        shard_index: int = 0,
+        shard_count: int = 1,
+        start_step: int = 0,
+        weight_until: int = 0,
+    ) -> Iterator[dict]:
+        """Endless per-epoch-shuffled device batch stream.
+
+        Epoch accounting matches `data.dataset.batch_iterator`'s drop-last
+        mega-batch arithmetic so `steps_per_epoch` stays consistent between
+        the host and device paths.  `weight_until`: weight targets are only
+        consumed by the weight-L1 phase (reference bin/train.py:87-89), so
+        they stop being gathered past the discriminator boundary.
+        """
+        hp = self.hp
+        bs = batch_size if batch_size is not None else hp.batch_size
+        mega = bs * hp.batch_expand_size
+        step = start_step
+        for epoch in range(hp.epochs):
+            rng = np.random.default_rng((seed, epoch))
+            order = rng.permutation(self.n_items)
+            per = len(order) // shard_count
+            order = order[shard_index * per : (shard_index + 1) * per]
+            order = order[: (len(order) // mega) * mega]
+            for b in range(len(order) // bs):
+                idx = order[b * bs : (b + 1) * bs]
+                starts = self.sample_crops(rng, idx)
+                step += 1
+                with_weight = (
+                    self.wstep is not None and step <= weight_until
+                )
+                yield self.gather(idx, starts, with_weight=with_weight)

@@ -258,6 +258,7 @@ def test_basis_melgan_driver_smoke_with_fitted_targets(tmp_path, monkeypatch):
         batch_size=2, batch_expand_size=2, fixed_length=10,
         save_step=1000, valid_step=10000, valid_num=2,
         discriminator_train_start_steps=100000,
+        device_cache=1,  # HBM corpus cache + on-device crops + weight gather
     )
     state = train_mod.run(args)
     assert int(np.asarray(state.step)) == 5
@@ -320,3 +321,45 @@ def test_train_driver_wall_deadline(tiny_dataset, tmp_path, monkeypatch):
     ckpt_dirs = os.listdir(tmp_path / "checkpoint")
     saved = os.listdir(tmp_path / "checkpoint" / ckpt_dirs[0])
     assert "checkpoint_1.pth.tar" in saved
+
+
+@pytest.mark.slow
+def test_train_driver_malformed_deadline(tiny_dataset, tmp_path, monkeypatch):
+    """A malformed TRAIN_DEADLINE_EPOCH must not kill the segment at launch
+    (under the supervisor that would loop every segment into an instant
+    crash, ADVICE r04 item 3) — the run proceeds without a deadline."""
+    import functools
+
+    import fastvocoder_tpu.bin.train as train_mod
+    from fastvocoder_tpu.train.trainer import make_trainer
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        train_mod, "make_trainer", functools.partial(make_trainer, disc_cfg=TINY_DISC)
+    )
+    monkeypatch.setenv("TRAIN_DEADLINE_EPOCH", "not-a-number")
+    conf = tmp_path / "melgan_tiny.yaml"
+    conf.write_text(
+        "in_channels: 80\nout_channels: 1\nkernel_size: 7\n"
+        "channels: [8, 8, 8, 8, 8]\nupsample_scales: [10, 6, 2, 2]\n"
+        "stack_kernel_size: 3\nstacks: 3\nuse_weight_norm: True\n"
+        "use_causal_conv: False\nbias: True\nmultiband: False\n"
+        "lamda_stft: 1.0\nuse_feature_map_loss: True\n"
+    )
+    audio_idx, mel_idx = tiny_dataset
+    args = Namespace(
+        audio_index_path=audio_idx, mel_index_path=mel_idx,
+        audio_index_valid_path=audio_idx, mel_index_valid_path=mel_idx,
+        checkpoint_path="", restore_step=0,
+        learning_rate=1e-4, learning_rate_discriminator=5e-5,
+        model_name="melgan", config=str(conf),
+        use_scheduler=0, mixprecision=0,
+        basis_dataset_path="", seed=0,
+        max_steps=2, test_size=0,
+        batch_size=2, batch_expand_size=2, fixed_length=10,
+        save_step=4, valid_step=4, valid_num=2,
+        discriminator_train_start_steps=100000,
+    )
+    state = train_mod.run(args)
+    # the garbage value was ignored: the run reached max_steps, not step 1
+    assert int(np.asarray(state.step)) == 2
