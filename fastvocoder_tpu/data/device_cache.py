@@ -40,6 +40,37 @@ import numpy as np
 from fastvocoder_tpu.hparams import HP, Hparams
 
 
+_STAGE_CHUNK_BYTES = 8 << 20
+
+
+def _staged_put(x: np.ndarray, sharding=None, log=print):
+    """device_put in <=8 MB row slabs + one compiled concatenate.
+
+    A single large transfer over the remote axon link has been observed to
+    wedge the device (round-5: a 56 MB wav matrix hung the chip for >10
+    min and required a server-side reclaim), while the many-small-transfer
+    pattern is the one every prior training run exercised safely.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rows = max(1, _STAGE_CHUNK_BYTES // max(x[:1].nbytes, 1))
+    if x.shape[0] <= rows:
+        return jax.device_put(x, sharding) if sharding else jax.device_put(x)
+    chunks = []
+    for i in range(0, x.shape[0], rows):
+        part = x[i : i + rows]
+        chunks.append(
+            jax.device_put(part, sharding) if sharding else jax.device_put(part)
+        )
+    out = jax.jit(
+        lambda cs: jnp.concatenate(cs, axis=0),
+        **({"out_shardings": sharding} if sharding else {}),
+    )(chunks)
+    out.block_until_ready()
+    return out
+
+
 class DeviceCorpus:
     """Stage a BufferDataset/WeightDataset's items in HBM; serve batches by
     on-device gathering.
@@ -91,23 +122,27 @@ class DeviceCorpus:
         self.n_items = n
         self.frames = frames
         nbytes = sum(a.nbytes for a in host.values())
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharding = NamedSharding(mesh, PartitionSpec())
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        else:
+            sharding = None
+            self._batch_sharding = None
+        # chunked staging: one big transfer (e.g. the 56 MB wav matrix) can
+        # wedge the remote axon link; <=8 MB slabs ride the same transfer
+        # path the training pipeline has always used, then a compiled
+        # concatenate assembles the corpus on device
+        self.arrays = {
+            k: _staged_put(v, sharding, log=log) for k, v in host.items()
+        }
         log(
             f"device corpus: {n} utterances, {F} max frames, "
             f"{nbytes / 1e6:.0f} MB staged in HBM "
             f"({'mesh-replicated' if mesh is not None else 'single device'})"
         )
-
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            replicated = NamedSharding(mesh, PartitionSpec())
-            self._batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
-            self.arrays = {
-                k: jax.device_put(v, replicated) for k, v in host.items()
-            }
-        else:
-            self._batch_sharding = None
-            self.arrays = {k: jax.device_put(v) for k, v in host.items()}
         self._gather = {}  # (with_weight,) -> compiled gather
 
     # ------------------------------------------------------------------
@@ -116,46 +151,54 @@ class DeviceCorpus:
 
     def _make_gather(self, with_weight: bool):
         import jax
-        import jax.numpy as jnp
         from jax import lax
 
         fixed = self.hp.fixed_length
         hop = self.hp.hop_size
         wstep = self.wstep
-        mel_all, wav_all = self.arrays["mel"], self.arrays["wav"]
-        weight_all = self.arrays.get("weight") if with_weight else None
 
-        def one(idx, start):
-            m = lax.dynamic_index_in_dim(mel_all, idx, 0, keepdims=False)
-            mel = lax.dynamic_slice(m, (start, 0), (fixed, m.shape[-1]))
-            w = lax.dynamic_index_in_dim(wav_all, idx, 0, keepdims=False)
-            wav = lax.dynamic_slice(w, (start * hop,), (fixed * hop,))
-            out = {"mel": mel, "wav": wav}
-            if weight_all is not None:
-                t = lax.dynamic_index_in_dim(
-                    weight_all, idx, 0, keepdims=False
-                )
-                out["weight"] = lax.dynamic_slice(
-                    t, (start * wstep, 0), (fixed * wstep, t.shape[-1])
-                )
-            return out
+        # the corpus arrays are EXPLICIT arguments, not closure captures —
+        # jit embeds closed-over concrete arrays as compile-time constants,
+        # which bakes the whole corpus into the executable (multi-minute
+        # compile, cache keyed on the data itself)
+        def gather(arrays, idx, starts):
+            def one(i, s):
+                m = lax.dynamic_index_in_dim(arrays["mel"], i, 0, keepdims=False)
+                mel = lax.dynamic_slice(m, (s, 0), (fixed, m.shape[-1]))
+                w = lax.dynamic_index_in_dim(arrays["wav"], i, 0, keepdims=False)
+                wav = lax.dynamic_slice(w, (s * hop,), (fixed * hop,))
+                out = {"mel": mel, "wav": wav}
+                if with_weight:
+                    t = lax.dynamic_index_in_dim(
+                        arrays["weight"], i, 0, keepdims=False
+                    )
+                    out["weight"] = lax.dynamic_slice(
+                        t, (s * wstep, 0), (fixed * wstep, t.shape[-1])
+                    )
+                return out
 
-        fn = jax.vmap(one)
+            return jax.vmap(one)(idx, starts)
+
         if self._batch_sharding is not None:
             shardings = jax.tree_util.tree_map(
                 lambda _: self._batch_sharding,
                 {"mel": 0, "wav": 0, **({"weight": 0} if with_weight else {})},
             )
-            return jax.jit(fn, out_shardings=shardings)
-        return jax.jit(fn)
+            return jax.jit(gather, out_shardings=shardings)
+        return jax.jit(gather)
 
     def gather(self, idx: np.ndarray, starts: np.ndarray,
                with_weight: bool = False) -> dict:
         key = bool(with_weight and self.wstep is not None)
         if key not in self._gather:
             self._gather[key] = self._make_gather(key)
+        arrays = self.arrays
+        if not key and "weight" in arrays:
+            # keep the no-weight program's signature weight-free so the
+            # phase transition does not recompile over a dead argument
+            arrays = {k: v for k, v in arrays.items() if k != "weight"}
         return self._gather[key](
-            np.asarray(idx, np.int32), np.asarray(starts, np.int32)
+            arrays, np.asarray(idx, np.int32), np.asarray(starts, np.int32)
         )
 
     # ------------------------------------------------------------------
