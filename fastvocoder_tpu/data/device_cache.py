@@ -102,13 +102,23 @@ class DeviceCorpus:
                 arrs.append(np.pad(x, pad))
             return np.stack(arrs)
 
+        # FRAME-MAJOR layout: every modality is stored as (N*F, row) so a
+        # crop is `fixed_length` consecutive ROWS and the whole gather is an
+        # embedding-style row lookup (jnp.take along axis 0 with small
+        # uniform slices).  The per-element dynamic_slice formulation (a
+        # lax.gather with 33,600-element slices) sent the remote XLA
+        # compiler into a >13-minute compile; row gathers compile and run
+        # like any embedding table.
         mel = stack("mel", F)  # (N, F, 80)
         if "f0" in items[0]:
             # NHV conditioning: f0 as mel channel 80 (data.dataset.collate)
             f0 = stack("f0", F)
             mel = np.concatenate([mel, f0[..., None]], axis=-1)
-        wav = stack("wav", F * hop)  # (N, F*hop)
-        host = {"mel": mel, "wav": wav}
+        self.F = F
+        host = {
+            "mel": mel.reshape(n * F, -1),
+            "wav": stack("wav", F * hop).reshape(n * F, hop),
+        }
         self.wstep = None
         if "weight" in items[0]:
             import ml_dtypes
@@ -116,8 +126,9 @@ class DeviceCorpus:
             self.wstep = hop // (L // 2)
             # bf16 target: the host path already ships weights f16 (an L1
             # target; the loss accumulates f32) — same precision class
-            host["weight"] = stack("weight", F * self.wstep,
-                                   ml_dtypes.bfloat16)
+            host["weight"] = stack(
+                "weight", F * self.wstep, ml_dtypes.bfloat16
+            ).reshape(n * F, self.wstep, -1)
 
         self.n_items = n
         self.frames = frames
@@ -151,7 +162,7 @@ class DeviceCorpus:
 
     def _make_gather(self, with_weight: bool):
         import jax
-        from jax import lax
+        import jax.numpy as jnp
 
         fixed = self.hp.fixed_length
         hop = self.hp.hop_size
@@ -161,23 +172,17 @@ class DeviceCorpus:
         # jit embeds closed-over concrete arrays as compile-time constants,
         # which bakes the whole corpus into the executable (multi-minute
         # compile, cache keyed on the data itself)
-        def gather(arrays, idx, starts):
-            def one(i, s):
-                m = lax.dynamic_index_in_dim(arrays["mel"], i, 0, keepdims=False)
-                mel = lax.dynamic_slice(m, (s, 0), (fixed, m.shape[-1]))
-                w = lax.dynamic_index_in_dim(arrays["wav"], i, 0, keepdims=False)
-                wav = lax.dynamic_slice(w, (s * hop,), (fixed * hop,))
-                out = {"mel": mel, "wav": wav}
-                if with_weight:
-                    t = lax.dynamic_index_in_dim(
-                        arrays["weight"], i, 0, keepdims=False
-                    )
-                    out["weight"] = lax.dynamic_slice(
-                        t, (s * wstep, 0), (fixed * wstep, t.shape[-1])
-                    )
-                return out
-
-            return jax.vmap(one)(idx, starts)
+        def gather(arrays, fidx):
+            B = fidx.shape[0]
+            mel = jnp.take(arrays["mel"], fidx, axis=0)  # (B, fixed, C)
+            wav = jnp.take(arrays["wav"], fidx, axis=0).reshape(
+                B, fixed * hop
+            )
+            out = {"mel": mel, "wav": wav}
+            if with_weight:
+                w = jnp.take(arrays["weight"], fidx, axis=0)
+                out["weight"] = w.reshape(B, fixed * wstep, w.shape[-1])
+            return out
 
         if self._batch_sharding is not None:
             shardings = jax.tree_util.tree_map(
@@ -197,9 +202,12 @@ class DeviceCorpus:
             # keep the no-weight program's signature weight-free so the
             # phase transition does not recompile over a dead argument
             arrays = {k: v for k, v in arrays.items() if k != "weight"}
-        return self._gather[key](
-            arrays, np.asarray(idx, np.int32), np.asarray(starts, np.int32)
-        )
+        # flat frame rows: crop = `fixed` consecutive rows of item idx
+        fidx = (
+            (np.asarray(idx, np.int64) * self.F + np.asarray(starts))[:, None]
+            + np.arange(self.hp.fixed_length)[None, :]
+        ).astype(np.int32)
+        return self._gather[key](arrays, fidx)
 
     # ------------------------------------------------------------------
     # training stream
