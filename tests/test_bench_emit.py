@@ -46,9 +46,11 @@ def test_final_emission_carries_all_rows(bench):
         extras[key] = {"rtf": 0.000123, "vs_baseline": 400.0}
 
     bench._bench_model = fake_model
-    bench.bench_training = lambda root, extras, emit: extras.setdefault(
-        "train_step", {}
-    ).update(hifigan_gan={"ms_per_step": 100.0})
+    bench.bench_training = (
+        lambda root, extras, emit, rows_spec=None: extras.setdefault(
+            "train_step", {}
+        ).update(hifigan_gan={"ms_per_step": 100.0})
+    )
 
     emissions = _run_main(bench)
     last = emissions[-1]

@@ -118,9 +118,12 @@ post_bg() {  # run post_process in the background, logging into the run dir
 }
 
 # 1. FLAGSHIP: basis-melgan clean through the adversarial phase
-#    (VERDICT r04 item 2: >=10k steps, disc starts at 2000)
+#    (VERDICT r04 item 2: >=10k steps, disc starts at 2000).  The GAN-step
+#    program is precompiled first so the mid-run phase transition is a
+#    cache hit instead of a cold compile racing the stall watchdog.
 if [ -f dataset/clean_basis/basis_signal_weight.npy ] \
     && [ -d dataset/clean_basis/weight ]; then
+  bash tools/warm_gan_steps.sh basis
   train_family basis_melgan_clean2 33 16000 basis-melgan \
       conf/basis-melgan/light.yaml 2000 \
       --basis_dataset_path dataset/clean_basis
@@ -141,8 +144,10 @@ train_family mb_hifigan_light_clean 14 8000 multiband-hifigan \
     conf/multiband-hifigan/light.yaml 0
 post_bg mb_hifigan_light_clean multiband-hifigan conf/multiband-hifigan/light.yaml
 
-# 4. NHV clean window (VERDICT item 4; beyond-reference family)
-train_family nhv_clean 13 8000 nhv conf/nhv/default.yaml 2000
+# 4. NHV clean window (VERDICT item 4; beyond-reference family).
+#    Adversarial from step 0: one compiled program for the whole window —
+#    a mid-window phase transition would pay a second cold compile
+train_family nhv_clean 13 8000 nhv conf/nhv/default.yaml 0
 post_bg nhv_clean nhv conf/nhv/default.yaml
 
 # 5. melgan clean window (VERDICT item 4 "if time allows")
