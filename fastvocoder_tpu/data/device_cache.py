@@ -40,35 +40,20 @@ import numpy as np
 from fastvocoder_tpu.hparams import HP, Hparams
 
 
-_STAGE_CHUNK_BYTES = 8 << 20
-
-
 def _staged_put(x: np.ndarray, sharding=None, log=print):
-    """device_put in <=8 MB row slabs + one compiled concatenate.
+    """One device_put per modality.
 
-    A single large transfer over the remote axon link has been observed to
-    wedge the device (round-5: a 56 MB wav matrix hung the chip for >10
-    min and required a server-side reclaim), while the many-small-transfer
-    pattern is the one every prior training run exercised safely.
+    Round-5 postmortem: an earlier chunked-put + on-device-concatenate
+    variant hung the device queue indefinitely on the 552 MB bf16 weight
+    corpus (block_until_ready returned early, then every later program
+    queued behind a concat that never finished).  Plain single transfers —
+    including the 552 MB one — complete in seconds over the same link; the
+    hangs originally blamed on transfer size were in fact a pathological
+    lax.gather compile (see _make_gather).
     """
     import jax
-    import jax.numpy as jnp
 
-    rows = max(1, _STAGE_CHUNK_BYTES // max(x[:1].nbytes, 1))
-    if x.shape[0] <= rows:
-        return jax.device_put(x, sharding) if sharding else jax.device_put(x)
-    chunks = []
-    for i in range(0, x.shape[0], rows):
-        part = x[i : i + rows]
-        chunks.append(
-            jax.device_put(part, sharding) if sharding else jax.device_put(part)
-        )
-    out = jax.jit(
-        lambda cs: jnp.concatenate(cs, axis=0),
-        **({"out_shardings": sharding} if sharding else {}),
-    )(chunks)
-    out.block_until_ready()
-    return out
+    return jax.device_put(x, sharding) if sharding else jax.device_put(x)
 
 
 class DeviceCorpus:

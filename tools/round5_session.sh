@@ -86,11 +86,32 @@ post_process() {  # <run_name> <model_name> <config> [phase_note]
       --audio_index_path dataset/clean_audio/eval \
       --mel_index_path dataset/clean_mel/eval \
       --csv_out "docs/quality_${run_name}.csv" || true
-  local ckpt
-  ckpt="$(find "$R/checkpoint" -name 'checkpoint_*.pth.tar' \
+  # checkpoint SELECTION on the valid split (held-out segments of the
+  # TRAINING clips) — never on the clip-0 eval split the demo comparison
+  # scores, so selection stays uncontaminated
+  python3 tools/eval_checkpoints.py --cpu --checkpoint_root "$R/checkpoint" \
+      --model_name "$model_name" --config "$config" \
+      --audio_index_path dataset/clean_audio/valid \
+      --mel_index_path dataset/clean_mel/valid \
+      --csv_out "docs/selection_${run_name}.csv" || true
+  local ckpt best_step
+  best_step="$(python3 - "docs/selection_${run_name}.csv" <<'EOF'
+import csv, sys
+try:
+    rows = list(csv.DictReader(open(sys.argv[1])))
+    print(min(rows, key=lambda r: float(r["mr_stft"]))["step"] if rows else "")
+except OSError:
+    print("")
+EOF
+)"
+  ckpt=""
+  [ -n "$best_step" ] && ckpt="$(find "$R/checkpoint" \
+      -name "checkpoint_${best_step}.pth.tar" | head -1)"
+  [ -z "$ckpt" ] && ckpt="$(find "$R/checkpoint" -name 'checkpoint_*.pth.tar' \
       | sed -E 's/(.*checkpoint_)([0-9]+)(\.pth\.tar)/\2 \0/' | sort -n | tail -1 \
       | cut -d' ' -f2)"
   [ -z "$ckpt" ] && { echo "no checkpoint for $run_name"; return 0; }
+  echo "selected checkpoint: $ckpt (valid-split best step: ${best_step:-n/a})"
   local demos=(/root/reference/resource/demo/ljspeech/0.wav)
   case "$model_name/$config" in
     hifigan/*light*) demos+=(/root/reference/resource/demo/0.hifigan.light.705000.wav);;
@@ -99,10 +120,14 @@ post_process() {  # <run_name> <model_name> <config> [phase_note]
     multiband-hifigan/*large*) demos+=(/root/reference/resource/demo/0.multiband.hifigan.large.945000.wav);;
     basis-melgan/*) demos+=(/root/reference/resource/demo/0.basis.melgan.light.815000.remove.wav);;
   esac
+  local sel_note=""
+  [ -n "$best_step" ] && sel_note="; checkpoint step $best_step selected by \
+valid-split MR-STFT (held-out segments of the training clips — never the \
+clip-0 eval content this comparison scores)"
   python3 tools/compare_to_reference_demo.py --cpu --checkpoint_path "$ckpt" \
       --model_name "$model_name" --config "$config" \
       --demo_wav "${demos[@]}" --save_dir docs/samples \
-      --protocol_note "$PROTOCOL_NOTE${phase_note:+; $phase_note}" \
+      --protocol_note "$PROTOCOL_NOTE${phase_note:+; $phase_note}$sel_note" \
       --output "docs/demo_comparison_${run_name}.json" || true
   echo "=== $(date -u +%H:%M:%S) $run_name post-processing done ==="
 }
