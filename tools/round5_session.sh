@@ -149,7 +149,7 @@ post_bg() {  # run post_process in the background, logging into the run dir
 if [ -f dataset/clean_basis/basis_signal_weight.npy ] \
     && [ -d dataset/clean_basis/weight ]; then
   bash tools/warm_gan_steps.sh basis
-  train_family basis_melgan_clean2 33 16000 basis-melgan \
+  train_family basis_melgan_clean2 33 24000 basis-melgan \
       conf/basis-melgan/light.yaml 2000 \
       --basis_dataset_path dataset/clean_basis
   post_bg basis_melgan_clean2 basis-melgan conf/basis-melgan/light.yaml \
@@ -161,22 +161,22 @@ fi
 # 2. hifigan-light clean depth extension (VERDICT item 3): fresh run on the
 #    expanded corpus; its step-2500 quality row doubles as the corpus A/B
 #    against round-4's 3-speed run (docs/quality_hifigan_light_clean.csv)
-train_family hifigan_light_clean2 30 24000 hifigan conf/hifigan/light.yaml 0
+train_family hifigan_light_clean2 30 30000 hifigan conf/hifigan/light.yaml 0
 post_bg hifigan_light_clean2 hifigan conf/hifigan/light.yaml
 
 # 3. mb-hifigan-light clean window (VERDICT item 4)
-train_family mb_hifigan_light_clean 14 8000 multiband-hifigan \
+train_family mb_hifigan_light_clean 14 12000 multiband-hifigan \
     conf/multiband-hifigan/light.yaml 0
 post_bg mb_hifigan_light_clean multiband-hifigan conf/multiband-hifigan/light.yaml
 
 # 4. NHV clean window (VERDICT item 4; beyond-reference family).
 #    Adversarial from step 0: one compiled program for the whole window —
 #    a mid-window phase transition would pay a second cold compile
-train_family nhv_clean 13 8000 nhv conf/nhv/default.yaml 0
+train_family nhv_clean 13 12000 nhv conf/nhv/default.yaml 0
 post_bg nhv_clean nhv conf/nhv/default.yaml
 
 # 5. melgan clean window (VERDICT item 4 "if time allows")
-train_family melgan_clean 10 6000 melgan conf/melgan/original.yaml 0
+train_family melgan_clean 10 10000 melgan conf/melgan/original.yaml 0
 post_bg melgan_clean melgan conf/melgan/original.yaml
 
 wait
