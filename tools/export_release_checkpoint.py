@@ -126,6 +126,9 @@ def restore(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true",
+                   help="run on host CPU (shell-level JAX_PLATFORMS=cpu is "
+                        "ineffective under the axon sitecustomize)")
     sub = p.add_subparsers(dest="cmd", required=True)
     e = sub.add_parser("export")
     e.add_argument("--checkpoint", required=True)
@@ -143,6 +146,9 @@ def main(argv=None):
     r.add_argument("--config", default="",
                    help="override the config path recorded at export")
     args = p.parse_args(argv)
+    if args.cpu:
+        import fastvocoder_tpu
+        fastvocoder_tpu.force_platform("cpu")
     if args.cmd == "export":
         export(args)
     else:

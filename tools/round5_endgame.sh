@@ -60,6 +60,60 @@ tail -3 runs/bench_warm.log
 # driver artifact series hasn't captured yet (VERDICT r04 weak 6)
 [ "$rc" -eq 0 ] && tail -1 runs/bench_warm.json > docs/bench_local_r05.json
 
+echo "== $(date -u +%H:%M:%S) 3b. render perf tables from the warm artifact =="
+if [ -s docs/bench_local_r05.json ] && python3 - <<'EOF'
+import json
+ex = json.load(open("docs/bench_local_r05.json")).get("extras", {})
+rtf_rows = sum(1 for k, v in ex.items()
+               if k.endswith("_rtf") and isinstance(v, dict) and "rtf" in v)
+train_rows = sum(1 for v in (ex.get("train_step") or {}).values()
+                 if "ms_per_step" in v)
+print(f"warm artifact: {rtf_rows} rtf rows, {train_rows} train rows")
+raise SystemExit(0 if rtf_rows >= 6 else 1)
+EOF
+then
+  python3 tools/render_bench_tables.py --artifact docs/bench_local_r05.json || true
+else
+  echo "  warm artifact missing or too sparse; keeping current tables"
+fi
+
+echo "== $(date -u +%H:%M:%S) 3c. export durable release checkpoints =="
+export_release() {  # <run_name> <model_name> <config>
+  local run_name="$1" model_name="$2" config="$3" best_step ckpt
+  best_step="$(python3 - "docs/selection_${run_name}.csv" <<'EOF'
+import csv, sys
+try:
+    rows = list(csv.DictReader(open(sys.argv[1])))
+    print(min(rows, key=lambda r: float(r["mr_stft"]))["step"] if rows else "")
+except OSError:
+    print("")
+EOF
+)"
+  ckpt=""
+  [ -n "$best_step" ] && ckpt="$(find "runs/$run_name/checkpoint" \
+      -name "checkpoint_${best_step}.pth.tar" 2>/dev/null | head -1)"
+  [ -z "$ckpt" ] && ckpt="$(find "runs/$run_name/checkpoint" -name 'checkpoint_*.pth.tar' 2>/dev/null \
+      | sed -E 's/(.*checkpoint_)([0-9]+)(\.pth\.tar)/\2 \0/' | sort -n | tail -1 \
+      | cut -d' ' -f2)"
+  [ -z "$ckpt" ] && { echo "  no checkpoint for $run_name"; return 0; }
+  mkdir -p docs/checkpoints
+  timeout 600 python3 tools/export_release_checkpoint.py --cpu export \
+      --checkpoint "$ckpt" --model_name "$model_name" --config "$config" \
+      --out "docs/checkpoints/${run_name}.npz" \
+      && echo "  exported $run_name from $ckpt" || echo "  EXPORT FAILED for $run_name"
+}
+export_release basis_melgan_clean2 basis-melgan conf/basis-melgan/light.yaml
+export_release hifigan_light_clean2 hifigan conf/hifigan/light.yaml
+export_release mb_hifigan_light_clean multiband-hifigan conf/multiband-hifigan/light.yaml
+export_release nhv_clean nhv conf/nhv/default.yaml
+export_release melgan_clean melgan conf/melgan/original.yaml
+
+echo "== $(date -u +%H:%M:%S) 3d. commit round-5 artifacts =="
+cp runs/round5_schedule.log docs/round5_schedule.log 2>/dev/null || true
+git add -A docs/ README.md
+git commit -m "Round-5 artifacts: clean-run quality evidence, release checkpoints, perf tables from warm bench" \
+    || echo "  nothing to commit"
+
 echo "== $(date -u +%H:%M:%S) 4. quiet default-suite timing =="
 ( time python3 -m pytest tests/ -q -p no:cacheprovider ) \
     > runs/suite_quiet.log 2>&1
