@@ -29,7 +29,7 @@ touch "$STOP_FILE"
 echo "== $(date -u +%H:%M:%S) 1. waiting for training/eval to drain (<= ${WAIT_DRAIN_S}s) =="
 start=$(date +%s)
 while :; do
-  live="$(ps -eo args | grep -E "fastvocoder_tpu\.bin\.(train|launcher)|train_supervised|round5_session" | grep -v grep || true)"
+  live="$(ps -eo args | grep -E "fastvocoder_tpu\.bin\.(train|launcher)|train_supervised|round5_session|eval_checkpoints|compare_to_reference_demo|summarize_run|export_release_checkpoint" | grep -v grep || true)"
   [ -z "$live" ] && { echo "  drained"; break; }
   if [ $(( $(date +%s) - start )) -gt "$WAIT_DRAIN_S" ]; then
     echo "  STILL LIVE after ${WAIT_DRAIN_S}s:"; echo "$live"
