@@ -1,33 +1,32 @@
 #!/usr/bin/env bash
-# Round-5 training schedule: clean-protocol runs for EVERY model family on
-# the expanded-augmentation corpus (tools/make_clean_corpus.py --speeds
-# 0.85..1.15 --gains 1.0 0.6 -> 302 train utterances, ~4.9x round-4), with
-# the flagship Basis-MelGAN first and through its adversarial phase
-# (VERDICT r04 item 2).  Differences from round-4b baked in:
+# Round-5 continuation: reclaim the chip window the main schedule leaves
+# idle.  tools/round5_session.sh (as launched) computed every family's
+# deadline against an undecremented WSUM — a command-substitution subshell
+# ate the decrement — so each family got only w/100 of the remaining time
+# and the slack from fast families accumulated into dead air between
+# "schedule complete" and the endgame capture at $SCHEDULE_DEADLINE.
 #
-#   * --device_cache (auto-on): whole corpus staged in HBM, crops gathered
-#     on device — kills the per-step H2D that made basis-melgan 1.3-2.0
-#     s/step and the axon host-RAM transfer leak that forced short
-#     segments;
-#   * per-family deadlines are computed DYNAMICALLY at family start
-#     (weighted share of the time left), so a family finishing early
-#     donates its slack to the rest instead of leaving the chip idle;
-#   * post-processing runs with --cpu (in-process platform forcing,
-#     ADVICE r04 item 1) in the background so it never contends with the
-#     next family's training;
-#   * basis-melgan's GAN-step program is precompiled by
-#     tools/warm_gan_steps.sh before this schedule, so the pre-adv->GAN
-#     transition mid-run hits the persistent cache instead of a cold
-#     multi-minute compile racing the stall watchdog.
+# This script waits for the main schedule to finish, then, with the
+# CORRECT donate-the-slack arithmetic:
+#   1. tops up the short-windowed families to their original step targets
+#      (mb-hifigan 12k, NHV 12k, melgan 10k — resuming in place, no rm);
+#   2. extends hifigan-light to 30k (VERDICT r04 item 3's upper target);
+#   3. pours whatever is left into the flagship basis-melgan (24k -> up to
+#      40k);
+# re-running CPU-forced post-processing after each family so the committed
+# CSVs/JSONs always describe the deepest checkpoints.
 #
-# Usage:  SCHEDULE_DEADLINE=<unix-s> nohup bash tools/round5_session.sh \
-#             >> runs/round5_schedule.log 2>&1 &
+# Usage: SCHEDULE_DEADLINE=<unix-s> nohup bash tools/round5_continuation.sh \
+#            >> runs/round5_continuation.log 2>&1 &
 set -u
 cd "$(dirname "$0")/.."
 
 : "${SCHEDULE_DEADLINE:?set SCHEDULE_DEADLINE (unix seconds)}"
 export SEGMENT_STEPS="${SEGMENT_STEPS:-10000}"
 STOP_FILE="${STOP_FILE:-/tmp/stop_training}"
+# Leave a buffer before the endgame's stop-file drop so the last segment's
+# tail checkpoint + valid pass never races the capture window.
+HARD_END=$(( SCHEDULE_DEADLINE - 300 ))
 
 CLEAN_ARGS=(
   --audio_index_path dataset/clean_audio/train
@@ -42,19 +41,35 @@ speed-perturbed x 2 peak levels, tools/make_clean_corpus.py); LJSpeech \
 clip 0 — the utterance all reference demo wavs render — and the demo wavs \
 themselves were excluded from training at every speed and level"
 
-remaining() { echo $(( SCHEDULE_DEADLINE - $(date +%s) )); }
+echo "=== $(date -u +%H:%M:%S) continuation: waiting for the main schedule ==="
+# Wait on the live schedule PROCESS, not the log: runs/round5_schedule.log
+# already contains a "schedule complete" line from an earlier aborted
+# schedule, and grepping for it here once launched a duplicate trainer
+# racing the main schedule's on the same run dir.  SCHED_PID can be passed
+# explicitly; otherwise detect any live round5_session.sh.
+sched_alive() {
+  if [ -n "${SCHED_PID:-}" ]; then
+    kill -0 "$SCHED_PID" 2>/dev/null
+  else
+    ps -eo args | grep round5_session.sh | grep -v grep | grep -q .
+  fi
+}
+while sched_alive; do
+  [ -e "$STOP_FILE" ] && { echo "stop-file present; exiting"; exit 0; }
+  sleep 60
+done
+echo "=== $(date -u +%H:%M:%S) main schedule finished; reclaiming ==="
 
-# weights: flagship basis gets the largest share, then the hifigan depth
-# extension (VERDICT item 3), then the families with no clean artifacts yet
+remaining() { echo $(( HARD_END - $(date +%s) )); }
+
+latest_step() {  # <run_name>
+  find "runs/$1/checkpoint" -name 'checkpoint_*.pth.tar' 2>/dev/null \
+    | sed -E 's/.*checkpoint_([0-9]+)\.pth\.tar/\1/' | sort -n | tail -1
+}
+
 WSUM=100
-
-family_deadline() {  # <weight> -> sets FAMILY_DEADLINE; consumes <weight> from WSUM
-  # NOTE: must be CALLED, not command-substituted — $(family_deadline ...)
-  # runs in a subshell and loses the WSUM decrement, pinning every family
-  # to w/100 of the remaining time instead of its share of what's left
-  # (the round-5 run hit exactly this: slack was never donated and the
-  # chip idled after the last family; tools/round5_continuation.sh
-  # reclaimed the window)
+FAMILY_DEADLINE=0
+family_deadline() {  # <weight>: sets FAMILY_DEADLINE, consumes weight
   local w="$1" rem
   rem=$(remaining)
   [ "$rem" -lt 0 ] && rem=0
@@ -62,17 +77,22 @@ family_deadline() {  # <weight> -> sets FAMILY_DEADLINE; consumes <weight> from 
   WSUM=$(( WSUM - w ))
 }
 
-train_family() {  # <run_name> <weight> <max_steps> <model> <config> <disc_start> [extra...]
+resume_family() {  # <run_name> <weight> <max_steps> <model> <config> <disc_start> [extra...]
   local run_name="$1" weight="$2" max_steps="$3" model_name="$4" config="$5" disc_start="$6"
   shift 6
-  local deadline
   family_deadline "$weight"
-  deadline="$FAMILY_DEADLINE"
-  if [ -e "$STOP_FILE" ] || [ $(( deadline - $(date +%s) )) -lt 600 ]; then
-    echo "schedule: skipping $run_name (stop/deadline)"; return 1
+  local deadline="$FAMILY_DEADLINE"
+  local have
+  have="$(latest_step "$run_name")"; have="${have:-0}"
+  if [ "$have" -ge "$max_steps" ]; then
+    echo "continuation: $run_name already at step $have >= $max_steps, skipping"
+    return 0
   fi
-  echo "=== $(date -u +%H:%M:%S) training $run_name (max $max_steps, window $(( deadline - $(date +%s) ))s) ==="
-  rm -rf "runs/$run_name"; mkdir -p "runs/$run_name"
+  if [ -e "$STOP_FILE" ] || [ $(( deadline - $(date +%s) )) -lt 420 ]; then
+    echo "continuation: skipping $run_name (stop/deadline)"; return 1
+  fi
+  echo "=== $(date -u +%H:%M:%S) resuming $run_name from step $have (target $max_steps, window $(( deadline - $(date +%s) ))s) ==="
+  mkdir -p "runs/$run_name"
   DEADLINE_EPOCH="$deadline" TRAIN_DEADLINE_EPOCH="$deadline" \
   RUN_DIR="runs/$run_name" bash tools/train_supervised.sh "$max_steps" \
       "runs/$run_name/train.log" \
@@ -92,9 +112,6 @@ post_process() {  # <run_name> <model_name> <config> [phase_note]
       --audio_index_path dataset/clean_audio/eval \
       --mel_index_path dataset/clean_mel/eval \
       --csv_out "docs/quality_${run_name}.csv" || true
-  # checkpoint SELECTION on the valid split (held-out segments of the
-  # TRAINING clips) — never on the clip-0 eval split the demo comparison
-  # scores, so selection stays uncontaminated
   python3 tools/eval_checkpoints.py --cpu --checkpoint_root "$R/checkpoint" \
       --model_name "$model_name" --config "$config" \
       --audio_index_path dataset/clean_audio/valid \
@@ -135,55 +152,56 @@ clip-0 eval content this comparison scores)"
       --demo_wav "${demos[@]}" --save_dir docs/samples \
       --protocol_note "$PROTOCOL_NOTE${phase_note:+; $phase_note}$sel_note" \
       --output "docs/demo_comparison_${run_name}.json" || true
+  # per-run snapshot of the clip-0 rendition: every family's comparison
+  # writes docs/samples/0.fastvocoder_tpu.wav, so later families would
+  # otherwise overwrite this one's sample
+  if [ -f docs/samples/0.fastvocoder_tpu.wav ]; then
+    cp docs/samples/0.fastvocoder_tpu.wav \
+       "docs/samples/${run_name}_clip0.fastvocoder_tpu.wav"
+    python3 - "docs/demo_comparison_${run_name}.json" "$run_name" <<'EOF'
+import json, sys
+p, run = sys.argv[1], sys.argv[2]
+d = json.load(open(p))
+r = d.get("results", {}).get("0.wav")
+if r:
+    r["saved_wav"] = f"docs/samples/{run}_clip0.fastvocoder_tpu.wav"
+    json.dump(d, open(p, "w"), indent=2)
+EOF
+  fi
   echo "=== $(date -u +%H:%M:%S) $run_name post-processing done ==="
 }
 
 post_bg() {  # run post_process in the background, logging into the run dir
   local run_name="$1"
   if find "runs/$run_name/checkpoint" -name 'checkpoint_*.pth.tar' 2>/dev/null | grep -q .; then
-    post_process "$@" > "runs/$run_name/post.log" 2>&1 &
+    post_process "$@" > "runs/$run_name/post2.log" 2>&1 &
     echo "post-processing $run_name in background (pid $!)"
   else
     echo "no checkpoints for $run_name; skipping post-processing"
   fi
 }
 
-# 1. FLAGSHIP: basis-melgan clean through the adversarial phase
-#    (VERDICT r04 item 2: >=10k steps, disc starts at 2000).  The GAN-step
-#    program is precompiled first so the mid-run phase transition is a
-#    cache hit instead of a cold compile racing the stall watchdog.
-if [ -f dataset/clean_basis/basis_signal_weight.npy ] \
-    && [ -d dataset/clean_basis/weight ]; then
-  bash tools/warm_gan_steps.sh basis
-  train_family basis_melgan_clean2 33 24000 basis-melgan \
-      conf/basis-melgan/light.yaml 2000 \
-      --basis_dataset_path dataset/clean_basis
-  post_bg basis_melgan_clean2 basis-melgan conf/basis-melgan/light.yaml \
-      "GAN phase from step 2000"
-else
-  echo "schedule: dataset/clean_basis not ready, SKIPPING the flagship run"
-fi
-
-# 2. hifigan-light clean depth extension (VERDICT item 3): fresh run on the
-#    expanded corpus; its step-2500 quality row doubles as the corpus A/B
-#    against round-4's 3-speed run (docs/quality_hifigan_light_clean.csv)
-train_family hifigan_light_clean2 30 30000 hifigan conf/hifigan/light.yaml 0
-post_bg hifigan_light_clean2 hifigan conf/hifigan/light.yaml
-
-# 3. mb-hifigan-light clean window (VERDICT item 4)
-train_family mb_hifigan_light_clean 14 12000 multiband-hifigan \
+# 1. top-ups for the short-windowed families (original step targets)
+resume_family mb_hifigan_light_clean 18 12000 multiband-hifigan \
     conf/multiband-hifigan/light.yaml 0
 post_bg mb_hifigan_light_clean multiband-hifigan conf/multiband-hifigan/light.yaml
 
-# 4. NHV clean window (VERDICT item 4; beyond-reference family).
-#    Adversarial from step 0: one compiled program for the whole window —
-#    a mid-window phase transition would pay a second cold compile
-train_family nhv_clean 13 12000 nhv conf/nhv/default.yaml 0
+resume_family nhv_clean 18 12000 nhv conf/nhv/default.yaml 0
 post_bg nhv_clean nhv conf/nhv/default.yaml
 
-# 5. melgan clean window (VERDICT item 4 "if time allows")
-train_family melgan_clean 10 10000 melgan conf/melgan/original.yaml 0
+resume_family melgan_clean 12 10000 melgan conf/melgan/original.yaml 0
 post_bg melgan_clean melgan conf/melgan/original.yaml
 
+# 2. hifigan-light to the 30k upper target (VERDICT item 3)
+resume_family hifigan_light_clean2 22 30000 hifigan conf/hifigan/light.yaml 0
+post_bg hifigan_light_clean2 hifigan conf/hifigan/light.yaml
+
+# 3. flagship depth with everything left
+resume_family basis_melgan_clean2 100 40000 basis-melgan \
+    conf/basis-melgan/light.yaml 2000 \
+    --basis_dataset_path dataset/clean_basis
+post_bg basis_melgan_clean2 basis-melgan conf/basis-melgan/light.yaml \
+    "GAN phase from step 2000"
+
 wait
-echo "=== $(date -u +%H:%M:%S) schedule complete ($(remaining)s before deadline) ==="
+echo "=== $(date -u +%H:%M:%S) continuation complete ($(remaining)s before hard end) ==="
